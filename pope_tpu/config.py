@@ -1,0 +1,179 @@
+"""Single dataclass-based config system for the whole framework.
+
+Replaces the reference's three coexisting styles (yacs for the matcher,
+OmegaConf for dinov2, hardcoded constants in drivers — SURVEY.md §5). All the
+reference's magic numbers live here with their citations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    """ResNet-FPN (src/matcher/backbone/resnet_fpn.py; dims from
+    cvpr_ds_config.py:16-18)."""
+
+    initial_dim: int = 128
+    block_dims: Tuple[int, ...] = (128, 196, 256)
+    resolution: Tuple[int, int] = (8, 2)  # (coarse, fine) strides
+
+
+@dataclasses.dataclass(frozen=True)
+class LoFTRStageConfig:
+    """One LocalFeatureTransformer stage (cvpr_ds_config.py:21-27,41-46)."""
+
+    d_model: int = 256
+    d_ffn: int = 256
+    nhead: int = 8
+    layer_names: Tuple[str, ...] = ("self", "cross") * 4
+    attention: str = "linear"  # 'linear' | 'full'
+
+
+@dataclasses.dataclass(frozen=True)
+class CoarseMatchConfig:
+    """Dual-softmax coarse matching (cvpr_ds_config.py:30-39)."""
+
+    thr: float = 0.2
+    border_rm: int = 2
+    dsmax_temperature: float = 0.1
+    match_capacity: int = 1024  # static cap on kept matches (TPU-native)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Full LoFTR-style matcher (cvpr_ds_config.py defaults)."""
+
+    backbone: BackboneConfig = BackboneConfig()
+    coarse: LoFTRStageConfig = LoFTRStageConfig()
+    fine: LoFTRStageConfig = LoFTRStageConfig(
+        d_model=128, d_ffn=128, nhead=8, layer_names=("self", "cross")
+    )
+    match_coarse: CoarseMatchConfig = CoarseMatchConfig()
+    fine_window_size: int = 5  # must be odd (cvpr_ds_config.py:12)
+    fine_concat_coarse_feat: bool = True
+    temp_bug_fix: bool = False  # released indoor weights use the buggy pos-enc
+    mconf_strong_thr: float = 0.9  # retrieval vote threshold (eval_*.py:118-119)
+    dtype: str = "float32"  # compute dtype for the NN body
+
+    @property
+    def coarse_stride(self) -> int:
+        return self.backbone.resolution[0]
+
+    @property
+    def fine_stride(self) -> int:
+        return self.backbone.resolution[1]
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoV2Config:
+    """DINOv2 ViT-S/14 (dinov2/models/vision_transformer.py:306 vit_small +
+    configs/eval/vits14_pretrain.yaml)."""
+
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    init_values: float = 1.0  # layer scale
+    num_register_tokens: int = 0
+    interpolate_offset: float = 0.1
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class SamEncoderConfig:
+    """SAM ViT image encoder (segment_anything/modeling/image_encoder.py:17;
+    per-size params build_sam.py:13-50)."""
+
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    use_rel_pos: bool = True
+    dtype: str = "bfloat16"
+
+    @classmethod
+    def vit_b(cls):
+        return cls(embed_dim=768, depth=12, num_heads=12, global_attn_indexes=(2, 5, 8, 11))
+
+    @classmethod
+    def vit_l(cls):
+        return cls(embed_dim=1024, depth=24, num_heads=16, global_attn_indexes=(5, 11, 17, 23))
+
+    @classmethod
+    def vit_h(cls):
+        return cls()
+
+
+@dataclasses.dataclass(frozen=True)
+class SamConfig:
+    """Full SAM: encoder + prompt encoder + mask decoder
+    (segment_anything/modeling/sam.py:18)."""
+
+    encoder: SamEncoderConfig = SamEncoderConfig()
+    prompt_embed_dim: int = 256
+    image_embedding_size: int = 64  # img_size // patch_size
+    mask_in_chans: int = 16
+    num_multimask_outputs: int = 3
+    decoder_depth: int = 2
+    decoder_num_heads: int = 8
+    decoder_mlp_dim: int = 2048
+    pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+
+
+@dataclasses.dataclass(frozen=True)
+class AMGConfig:
+    """Automatic mask generation, POPE-tuned defaults
+    (automatic_mask_generator.py:36-52)."""
+
+    points_per_side: int = 16
+    points_per_batch: int = 2048
+    pred_iou_thresh: float = 0.9
+    stability_score_thresh: float = 0.95
+    stability_score_offset: float = 1.0
+    box_nms_thresh: float = 0.35
+    min_mask_region_area: int = 250
+    mask_capacity: int = 64  # static cap on surviving masks (TPU-native)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Composed POPE pipeline (eval_*_json.py driver constants)."""
+
+    matcher: MatcherConfig = MatcherConfig()
+    dinov2: DinoV2Config = DinoV2Config()
+    sam: SamConfig = SamConfig()
+    amg: AMGConfig = AMGConfig()
+    top_k: int = 3  # retrieval candidates (eval_linemod_json.py:71)
+    compact_percent: float = 0.3
+    crop_size: int = 256  # 512 for OnePose (eval_onepose_json.py:88)
+    ransac_thresh_px: float = 0.5
+    ransac_conf: float = 0.99
+    failure_penalty_deg: float = 90.0  # eval_linemod_json.py:166-168
+
+
+@dataclasses.dataclass(frozen=True)
+class RegressorConfig:
+    """Pose-regression extension (pose/model0429_mkpts.py, train0429*.py)."""
+
+    num_sample: int = 500  # mkpts per pair (train0429_mkpts.py:85)
+    n_freqs: int = 9  # NeRF-style positional embedding (model0429_mkpts.py:11)
+    d_model: int = 256
+    nhead: int = 8
+    num_layers: int = 6
+    rotation_mode: str = "6d"  # '6d' | 'quat' | 'matrix'
+    net_mode: str = "mkpts"  # 'mkpts' | 'imgs' | 'mkpts+imgs'
+    lr: float = 1e-5
+    weight_decay: float = 1e-5
+    batch_size: int = 8
+    seed: int = 20231223
