@@ -1,0 +1,6 @@
+"""TPU compute ops: attention variants, correlation/matching kernels, image
+resampling, NMS. jnp reference implementations with Pallas fast paths for the
+hot shapes."""
+
+from pope_tpu.ops.attention import linear_attention, full_attention
+from pope_tpu.ops.resize import upsample2x_align_corners, resize_bilinear_torch
