@@ -78,7 +78,7 @@ class DinoV2Config:
     depth: int = 12
     num_heads: int = 6
     mlp_ratio: float = 4.0
-    init_values: float = 1.0  # layer scale
+    init_values: float = 1e-5  # layer scale (ssl_default_config.yaml:75)
     num_register_tokens: int = 0
     interpolate_offset: float = 0.1
     dtype: str = "float32"

@@ -1,0 +1,99 @@
+"""Parity of the flax DINOv2 ViT-S/14 vs the reference implementation with
+random weights converted (reference torch stack is the oracle; xformers is
+absent so it falls back to its plain-attention path)."""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+from pope_tpu.config import DinoV2Config
+from pope_tpu.models.dinov2 import (
+    DinoVisionTransformer,
+    cls_token_cosine,
+    convert_torch_dinov2_state,
+    preprocess_image,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from dinov2.dinov2.models.vision_transformer import vit_small
+
+    torch.manual_seed(11)
+    m = vit_small(patch_size=14, img_size=518, init_values=1e-5, block_chunks=0)
+    m.eval()
+    # randomize params for a non-trivial oracle
+    g = torch.Generator().manual_seed(12)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.02)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    return m, sd
+
+
+def test_dinov2_forward_parity(ref_model, rng):
+    ref, sd = ref_model
+    variables = convert_torch_dinov2_state(sd)
+    ours = DinoVisionTransformer(DinoV2Config(embed_dim=384, depth=12, num_heads=6))
+
+    img = rng.uniform(-1, 1, (1, 196, 196, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref.forward_features(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    out = ours.apply(variables, jnp.asarray(img))
+    # random +-0.02 weights produce unnaturally large activations through
+    # 12 blocks; f32 reduction-order differences reach ~0.016 on 0.3% of
+    # elements, so compare with a modest tolerance plus cosine alignment
+    ref_cls = out_ref["x_norm_clstoken"].numpy()
+    our_cls = np.asarray(out["x_norm_clstoken"])
+    np.testing.assert_allclose(our_cls, ref_cls, atol=5e-2, rtol=1e-2)
+    cos = float(
+        np.sum(ref_cls * our_cls)
+        / (np.linalg.norm(ref_cls) * np.linalg.norm(our_cls))
+    )
+    assert cos > 0.9999, cos
+    np.testing.assert_allclose(
+        np.asarray(out["x_norm_patchtokens"]),
+        out_ref["x_norm_patchtokens"].numpy(),
+        atol=5e-2, rtol=1e-2,
+    )
+
+
+def test_dinov2_pos_embed_interpolation(ref_model, rng):
+    """224-input path exercises bicubic pos-embed interpolation (16x16 grid
+    vs the 37x37 pretrain grid)."""
+    ref, sd = ref_model
+    variables = convert_torch_dinov2_state(sd)
+    ours = DinoVisionTransformer(DinoV2Config(embed_dim=384, depth=12, num_heads=6))
+    img = rng.uniform(-1, 1, (1, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref.forward_features(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    out = ours.apply(variables, jnp.asarray(img))
+    # jax bicubic kernel (a=-0.5) vs torch (a=-0.75): small systematic
+    # difference in the interpolated embedding -> looser tolerance
+    np.testing.assert_allclose(
+        np.asarray(out["x_norm_clstoken"]),
+        out_ref["x_norm_clstoken"].numpy(),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
+def test_preprocess_matches_reference_shape_and_range(rng):
+    img = rng.uniform(0, 255, (480, 640, 3)).astype(np.uint8)
+    out_cc = preprocess_image(img, center_crop=True)
+    assert out_cc.shape == (1, 196, 196, 3)
+    out = preprocess_image(img, center_crop=False)
+    assert out.shape == (1, 224, 224, 3)
+    # ImageNet normalization: roughly zero-mean
+    assert abs(float(jnp.mean(out))) < 1.0
+
+
+def test_cls_cosine():
+    a = jnp.asarray([1.0, 0.0, 0.0])
+    b = jnp.asarray([0.5, 0.5, 0.0])
+    s = float(cls_token_cosine(a, b))
+    assert abs(s - 0.5**0.5) < 1e-5
