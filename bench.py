@@ -23,6 +23,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from pope_tpu.config import CoarseMatchConfig, MatcherConfig
     from pope_tpu.models.matcher import Matcher
     from pope_tpu.solver import estimate_pose_ransac
@@ -32,7 +35,9 @@ def main():
     rng = np.random.default_rng(0)
     img0 = jnp.asarray(rng.uniform(0, 1, (1, 480, 640, 1)), jnp.float32)
     img1 = jnp.asarray(rng.uniform(0, 1, (1, 256, 256, 1)), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), img0[:, :64, :64], img1[:, :64, :64])
+    # jit the init: on the axon TPU backend unjitted eager ops compile
+    # remotely one-by-one (~200 s); one jitted init compiles in seconds
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0[:, :64, :64], img1[:, :64, :64])
     K = jnp.asarray([[572.4, 0, 320], [0, 573.6, 240], [0, 0, 1]], jnp.float32)
 
     @jax.jit

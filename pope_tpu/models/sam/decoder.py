@@ -1,0 +1,191 @@
+"""SAM two-way transformer + mask decoder (flax).
+
+Behavioral spec: segment_anything/modeling/transformer.py:16-240
+(TwoWayTransformer: per-layer sparse self-attn -> token->image cross-attn ->
+MLP -> image->token cross-attn, with downsampled internal attention dim;
+final token->image attention + LN) and modeling/mask_decoder.py:16-176
+(iou token + 4 mask tokens, 2x2 transposed-conv 4x upscaling with channel
+LN, per-token hypernetwork MLPs -> mask logits, iou MLP head).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pope_tpu.models.sam.encoder import LayerNorm2d
+
+
+class DownsampledAttention(nn.Module):
+    """q/k/v projections into an internal (possibly downsampled) dim
+    (transformer.py:185-240)."""
+
+    embedding_dim: int
+    num_heads: int
+    downsample_rate: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        internal = self.embedding_dim // self.downsample_rate
+        d = internal // self.num_heads
+        B, Nq, _ = q.shape
+        Nk = k.shape[1]
+        qp = nn.Dense(internal, dtype=self.dtype, name="q_proj")(q).reshape(B, Nq, self.num_heads, d)
+        kp = nn.Dense(internal, dtype=self.dtype, name="k_proj")(k).reshape(B, Nk, self.num_heads, d)
+        vp = nn.Dense(internal, dtype=self.dtype, name="v_proj")(v).reshape(B, Nk, self.num_heads, d)
+        out = jax.nn.dot_product_attention(qp, kp, vp)
+        out = out.reshape(B, Nq, internal)
+        return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class TwoWayAttentionBlock(nn.Module):
+    embedding_dim: int
+    num_heads: int
+    mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
+    skip_first_layer_pe: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe):
+        dim, nh = self.embedding_dim, self.num_heads
+        if self.skip_first_layer_pe:
+            queries = DownsampledAttention(dim, nh, 1, self.dtype, name="self_attn")(queries, queries, queries)
+        else:
+            q = queries + query_pe
+            queries = queries + DownsampledAttention(dim, nh, 1, self.dtype, name="self_attn")(q, q, queries)
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        queries = queries + DownsampledAttention(
+            dim, nh, self.attention_downsample_rate, self.dtype, name="cross_attn_t2i"
+        )(q, k, keys)
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(queries)
+
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_lin1")(queries)
+        h = nn.relu(h)
+        h = nn.Dense(dim, dtype=self.dtype, name="mlp_lin2")(h)
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(queries + h)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        keys = keys + DownsampledAttention(
+            dim, nh, self.attention_downsample_rate, self.dtype, name="cross_attn_i2t"
+        )(k, q, queries)
+        keys = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm4")(keys)
+        return queries, keys
+
+
+class TwoWayTransformer(nn.Module):
+    depth: int = 2
+    embedding_dim: int = 256
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, point_embedding):
+        """image_embedding/image_pe: (B, h, w, C); point_embedding: (B, N, C).
+        Returns (processed tokens (B, N, C), processed image (B, hw, C))."""
+        B, h, w, C = image_embedding.shape
+        keys = image_embedding.reshape(B, h * w, C)
+        key_pe = jnp.broadcast_to(image_pe.reshape(-1, h * w, C)[:1], (B, h * w, C))
+        queries = point_embedding
+
+        for i in range(self.depth):
+            queries, keys = TwoWayAttentionBlock(
+                self.embedding_dim, self.num_heads, self.mlp_dim,
+                skip_first_layer_pe=(i == 0), dtype=self.dtype, name=f"layer_{i}",
+            )(queries, keys, point_embedding, key_pe)
+
+        q = queries + point_embedding
+        k = keys + key_pe
+        attn = DownsampledAttention(
+            self.embedding_dim, self.num_heads, 2, self.dtype, name="final_attn_t2i"
+        )(q, k, keys)
+        queries = queries + attn
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_final")(queries)
+        return queries, keys
+
+
+class HyperMLP(nn.Module):
+    """3-layer relu MLP (mask_decoder.py:160-176)."""
+
+    hidden: int
+    out: int
+    layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers - 1):
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name=f"lin{i}")(x))
+        return nn.Dense(self.out, dtype=self.dtype, name=f"lin{self.layers - 1}")(x)
+
+
+class MaskDecoder(nn.Module):
+    transformer_dim: int = 256
+    num_multimask_outputs: int = 3
+    depth: int = 2
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    iou_head_depth: int = 3
+    iou_head_hidden_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt, multimask_output: bool = True):
+        """
+        image_embeddings: (1 or B, h, w, C); image_pe: (h, w, C);
+        sparse_prompt: (B, N, C); dense_prompt: (B, h, w, C).
+        Returns (masks (B, K, 4h, 4w), iou_pred (B, K)) with K = 3 when
+        multimask_output else 1.
+        """
+        C = self.transformer_dim
+        num_mask_tokens = self.num_multimask_outputs + 1
+        iou_token = self.param("iou_token", nn.initializers.normal(1.0), (1, C))
+        mask_tokens = self.param("mask_tokens", nn.initializers.normal(1.0), (num_mask_tokens, C))
+
+        B = sparse_prompt.shape[0]
+        out_tokens = jnp.concatenate([iou_token, mask_tokens], axis=0)
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(out_tokens[None], (B, 1 + num_mask_tokens, C)), sparse_prompt], axis=1
+        )
+
+        src = jnp.broadcast_to(image_embeddings, (B,) + dense_prompt.shape[1:]) + dense_prompt
+        h, w = src.shape[1:3]
+
+        hs, keys = TwoWayTransformer(
+            self.depth, C, self.num_heads, self.mlp_dim, self.dtype, name="transformer"
+        )(src, image_pe[None], tokens)
+        iou_out = hs[:, 0]
+        mask_out = hs[:, 1 : 1 + num_mask_tokens]
+
+        src2 = keys.reshape(B, h, w, C)
+        up = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2), dtype=self.dtype, name="up_conv1")(src2)
+        up = LayerNorm2d(C // 4, name="up_ln")(up)
+        up = nn.gelu(up, approximate=False)
+        up = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2), dtype=self.dtype, name="up_conv2")(up)
+        up = nn.gelu(up, approximate=False)  # (B, 4h, 4w, C/8)
+
+        hyper = jnp.stack(
+            [
+                HyperMLP(C, C // 8, dtype=self.dtype, name=f"hyper_{i}")(mask_out[:, i])
+                for i in range(num_mask_tokens)
+            ],
+            axis=1,
+        )  # (B, K, C/8)
+        masks = jnp.einsum("bkc,bhwc->bkhw", hyper, up)
+        iou_pred = HyperMLP(
+            self.iou_head_hidden_dim, num_mask_tokens, self.iou_head_depth,
+            dtype=self.dtype, name="iou_head",
+        )(iou_out)
+
+        if multimask_output:
+            return masks[:, 1:], iou_pred[:, 1:]
+        return masks[:, :1], iou_pred[:, :1]

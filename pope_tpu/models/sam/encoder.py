@@ -1,0 +1,179 @@
+"""SAM image encoder: ViTDet-style ViT with 14x14 window attention, 4 global
+layers, and decomposed relative position bias (flax, NHWC).
+
+Behavioral spec: segment_anything/modeling/image_encoder.py —
+`ImageEncoderViT` :17-116 (patch embed + abs pos embed + blocks + 1x1/3x3
+neck with channel LayerNorm), `Block` :118-185 (window partition around
+attention), `Attention` + decomposed rel-pos :187-239, `window_partition/
+unpartition` :242-289, `get_rel_pos`/`add_decomposed_rel_pos` :292-360,
+`PatchEmbed` :363-394. Sizes: build_sam.py:13-50 (vit_h: 1280 dim / 32
+blocks / 16 heads / global at 7,15,23,31).
+
+TPU notes: all window partitions are static reshapes (64x64 grid padded to
+70x70 -> 25 windows of 196 tokens); the rel-pos bias is a static gather +
+two einsums. Attention materializes (.., N, N) logits to add the decomposed
+bias — compute dtype bfloat16 keeps the 4096-token global layers inside HBM
+comfortably; a fused Pallas flash-attention kernel with on-tile rel-pos bias
+is the planned upgrade for the global layers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pope_tpu.config import SamEncoderConfig
+
+
+class LayerNorm2d(nn.Module):
+    """Channel LayerNorm with biased variance (modeling/common.py:31-43);
+    in NHWC this is a LayerNorm over the trailing channel axis."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        xf = x.astype(jnp.float32)
+        u = jnp.mean(xf, axis=-1, keepdims=True)
+        s = jnp.mean((xf - u) ** 2, axis=-1, keepdims=True)
+        xf = (xf - u) / jnp.sqrt(s + self.eps)
+        return (w * xf + b).astype(x.dtype)
+
+
+def _rel_pos_table(rel_pos, q_size: int, k_size: int):
+    """Index the (2*max(q,k)-1, d) table at relative coords
+    (image_encoder.py:292-325; equal q/k sizes in this pipeline)."""
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[rel.astype(jnp.int32)]  # (q, k, d)
+
+
+def _attention_with_rel_pos(q, k, v, rel_pos_h, rel_pos_w, hw: Tuple[int, int]):
+    """(B, N, nh, d) attention with decomposed rel-pos bias
+    (image_encoder.py:326-360)."""
+    B, N, nh, d = q.shape
+    H, W = hw
+    scale = d**-0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+
+    Rh = _rel_pos_table(rel_pos_h, H, H)  # (H, H, d)
+    Rw = _rel_pos_table(rel_pos_w, W, W)
+    r_q = q.reshape(B, H, W, nh, d)
+    rel_h = jnp.einsum("bhwnc,hkc->bnhwk", r_q, Rh.astype(q.dtype))  # (B, nh, H, W, Hk)
+    rel_w = jnp.einsum("bhwnc,wkc->bnhwk", r_q, Rw.astype(q.dtype))
+    logits = logits.reshape(B, nh, H, W, H, W)
+    logits = logits + rel_h[..., :, None] + rel_w[..., None, :]
+    logits = logits.reshape(B, nh, N, N)
+
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+    return out.reshape(B, N, nh * d)
+
+
+class EncoderBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    window_size: int  # 0 = global
+    use_rel_pos: bool
+    grid: int  # full feature grid side (img/patch)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        nh = self.num_heads
+        d = C // nh
+        shortcut = x
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+
+        ws = self.window_size
+        if ws > 0:
+            pad_h = (ws - H % ws) % ws
+            pad_w = (ws - W % ws) % ws
+            hp = jnp.pad(h, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            Hp, Wp = H + pad_h, W + pad_w
+            hp = hp.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+            hp = hp.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+            q_hw = (ws, ws)
+            tokens = hp.reshape(hp.shape[0], ws * ws, C)
+        else:
+            q_hw = (H, W)
+            tokens = h.reshape(B, H * W, C)
+
+        qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype, name="qkv")(tokens)
+        qkv = qkv.reshape(tokens.shape[0], tokens.shape[1], 3, nh, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if self.use_rel_pos:
+            side = ws if ws > 0 else self.grid
+            rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros, (2 * side - 1, d))
+            rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros, (2 * side - 1, d))
+            attn_out = _attention_with_rel_pos(q, k, v, rel_pos_h, rel_pos_w, q_hw)
+        else:
+            attn_out = jax.nn.dot_product_attention(q, k, v).reshape(
+                tokens.shape[0], tokens.shape[1], C
+            )
+        attn_out = nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(attn_out)
+
+        if ws > 0:
+            wn = attn_out.reshape(-1, ws, ws, C)
+            Hp, Wp = H + pad_h, W + pad_w
+            wn = wn.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
+            wn = wn.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+            attn_sp = wn[:, :H, :W]
+        else:
+            attn_sp = attn_out.reshape(B, H, W, C)
+
+        x = shortcut + attn_sp
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_lin1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(C, dtype=self.dtype, name="mlp_lin2")(h)
+        return x + h
+
+
+class ImageEncoderViT(nn.Module):
+    """(B, 1024, 1024, 3) preprocessed image -> (B, 64, 64, out_chans)."""
+
+    config: SamEncoderConfig = SamEncoderConfig()
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        grid = cfg.img_size // cfg.patch_size
+        x = nn.Conv(
+            cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), use_bias=True, dtype=dtype,
+            name="patch_embed",
+        )(x.astype(dtype))
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.zeros, (1, grid, grid, cfg.embed_dim)
+        )
+        x = x + pos_embed.astype(x.dtype)
+
+        for i in range(cfg.depth):
+            x = EncoderBlock(
+                dim=cfg.embed_dim,
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                window_size=0 if i in cfg.global_attn_indexes else cfg.window_size,
+                use_rel_pos=cfg.use_rel_pos,
+                grid=grid,
+                dtype=dtype,
+                name=f"block_{i}",
+            )(x)
+
+        x = nn.Conv(cfg.out_chans, (1, 1), use_bias=False, dtype=dtype, name="neck_conv1")(x)
+        x = LayerNorm2d(cfg.out_chans, name="neck_ln1")(x)
+        x = nn.Conv(cfg.out_chans, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, dtype=dtype, name="neck_conv2")(x)
+        x = LayerNorm2d(cfg.out_chans, name="neck_ln2")(x)
+        return x.astype(jnp.float32)

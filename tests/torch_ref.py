@@ -92,3 +92,120 @@ def load_reference_matcher(seed=0):
             mod.running_var = torch.rand(mod.num_features, generator=g) + 0.5
     sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
     return m, sd
+
+
+def _install_torchvision_stub():
+    """The reference SAM package imports torchvision only for batched_nms
+    (automatic_mask_generator.py); stub it so the modeling stack imports."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+
+    def batched_nms(boxes, scores, idxs, iou_threshold):
+        # greedy NMS, descending score (matches torchvision semantics)
+        keep = []
+        order = torch.argsort(scores, descending=True)
+        suppressed = torch.zeros(len(boxes), dtype=torch.bool)
+        for i in order:
+            if suppressed[i]:
+                continue
+            keep.append(i.item())
+            bi = boxes[i]
+            for j in order:
+                if suppressed[j] or j == i or idxs[i] != idxs[j]:
+                    continue
+                xA = max(bi[0], boxes[j][0]); yA = max(bi[1], boxes[j][1])
+                xB = min(bi[2], boxes[j][2]); yB = min(bi[3], boxes[j][3])
+                inter = max(0.0, float(xB - xA)) * max(0.0, float(yB - yA))
+                areaA = float((bi[2] - bi[0]) * (bi[3] - bi[1]))
+                areaB = float((boxes[j][2] - boxes[j][0]) * (boxes[j][3] - boxes[j][1]))
+                if inter / max(areaA + areaB - inter, 1e-9) > iou_threshold:
+                    suppressed[j] = True
+        return torch.tensor(keep, dtype=torch.long)
+
+    ops.batched_nms = batched_nms
+    ops.__path__ = []
+    ops_boxes = types.ModuleType("torchvision.ops.boxes")
+    ops_boxes.batched_nms = batched_nms
+    ops_boxes.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    ops.boxes = ops_boxes
+    tv.ops = ops
+    transforms = types.ModuleType("torchvision.transforms")
+    transforms.__path__ = []  # mark as package
+    tf_functional = types.ModuleType("torchvision.transforms.functional")
+
+    def _resize(img, size, **kw):
+        return torch.nn.functional.interpolate(
+            img[None] if img.ndim == 3 else img, size=size, mode="bilinear",
+            align_corners=False, antialias=True,
+        ).squeeze(0)
+
+    def _to_pil_image(x):
+        raise NotImplementedError("stub")
+
+    tf_functional.resize = _resize
+    tf_functional.to_pil_image = _to_pil_image
+    transforms.functional = tf_functional
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.ops.boxes"] = ops_boxes
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = tf_functional
+
+
+def load_reference_sam(seed=0, size="test"):
+    """Build a small reference SAM (random weights) as a parity oracle.
+
+    size='test': a shrunken ViT (embed 64, 4 blocks, window 4, img 256) so
+    CPU parity tests stay fast; 'b'/'l'/'h' use the real configs.
+    """
+    _install_torchvision_stub()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    torch.manual_seed(seed)
+    from functools import partial
+    from segment_anything.segment_anything.modeling import (
+        ImageEncoderViT, MaskDecoder, PromptEncoder, Sam, TwoWayTransformer,
+    )
+
+    if size == "test":
+        img_size, patch, embed, depth, heads, win, glob = 256, 16, 64, 4, 2, 4, (1, 3)
+    elif size == "b":
+        img_size, patch, embed, depth, heads, win, glob = 1024, 16, 768, 12, 12, 14, (2, 5, 8, 11)
+    else:
+        raise NotImplementedError(size)
+    prompt_embed_dim = 64 if size == "test" else 256
+    emb_size = img_size // patch
+
+    sam = Sam(
+        image_encoder=ImageEncoderViT(
+            depth=depth, embed_dim=embed, img_size=img_size, mlp_ratio=4,
+            norm_layer=partial(torch.nn.LayerNorm, eps=1e-6), num_heads=heads,
+            patch_size=patch, qkv_bias=True, use_rel_pos=True,
+            global_attn_indexes=glob, window_size=win, out_chans=prompt_embed_dim,
+        ),
+        prompt_encoder=PromptEncoder(
+            embed_dim=prompt_embed_dim, image_embedding_size=(emb_size, emb_size),
+            input_image_size=(img_size, img_size), mask_in_chans=16,
+        ),
+        mask_decoder=MaskDecoder(
+            num_multimask_outputs=3,
+            transformer=TwoWayTransformer(
+                depth=2, embedding_dim=prompt_embed_dim, mlp_dim=256 if size == "test" else 2048,
+                num_heads=2 if size == "test" else 8,
+            ),
+            transformer_dim=prompt_embed_dim,
+            iou_head_depth=3, iou_head_hidden_dim=64 if size == "test" else 256,
+        ),
+        pixel_mean=[123.675, 116.28, 103.53],
+        pixel_std=[58.395, 57.12, 57.375],
+    )
+    sam.eval()
+    g = torch.Generator().manual_seed(seed + 1)
+    with torch.no_grad():
+        for param in sam.parameters():
+            param.copy_(torch.randn(param.shape, generator=g) * 0.04)
+    sd = {k: v.detach().numpy() for k, v in sam.state_dict().items()}
+    return sam, sd
