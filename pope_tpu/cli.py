@@ -1,0 +1,153 @@
+"""Command-line entry points (the reference's per-script drivers as one CLI).
+
+Usage:
+  python -m pope_tpu.cli eval --dataset linemod --data-root data --pairs-dir data/pairs
+  python -m pope_tpu.cli demo-dinov2 --image data/demos/inputs/target.png
+  python -m pope_tpu.cli demo-sam --image data/demos/inputs/target.png
+  python -m pope_tpu.cli extract --dataset linemod ...
+  python -m pope_tpu.cli train-regressor --dataset onepose ...
+  python -m pope_tpu.cli test-regressor --dataset onepose --ckpt ...
+
+Mirrors: eval_{linemod,onepose,ycb}_json.py / acc1-30_*.py (eval),
+visual_dinov2.py / visual_sam.py / visual_3dbbox.py (demos), linemod.py /
+onepose.py / ycbv.py (extract), train0429*.py / train0604.py (train),
+test0608.py (test).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_model_args(p):
+    p.add_argument("--sam-checkpoint", default=None)
+    p.add_argument("--sam-type", default="h", choices=["b", "l", "h"])
+    p.add_argument("--dinov2-checkpoint", default=None)
+    p.add_argument("--matcher-checkpoint", default=None)
+
+
+def cmd_eval(args):
+    from pope_tpu.eval import evaluate_dataset, results_to_xlsx
+    from pope_tpu.eval.evaluate import results_table
+    from pope_tpu.pipeline import load_models
+    from pope_tpu.pipeline.runner import run_pair
+
+    models = load_models(
+        sam_checkpoint=args.sam_checkpoint,
+        sam_type=args.sam_type,
+        dinov2_checkpoint=args.dinov2_checkpoint,
+        matcher_checkpoint=args.matcher_checkpoint,
+    )
+    per_obj = evaluate_dataset(
+        models, args.dataset, args.data_root, args.pairs_dir, run_pair,
+        max_pairs=args.max_pairs,
+    )
+    print(results_table(per_obj))
+    if args.xlsx:
+        results_to_xlsx(per_obj, args.xlsx)
+        print(f"wrote {args.xlsx}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(per_obj, f, indent=2)
+
+
+def cmd_demo_dinov2(args):
+    from pope_tpu.pipeline import load_models
+    from pope_tpu.pipeline.demos import demo_dinov2_heatmap
+
+    models = load_models(
+        dinov2_checkpoint=args.dinov2_checkpoint, sam_type="b"
+    )
+    demo_dinov2_heatmap(models, args.image, args.out)
+    print(f"wrote {args.out}")
+
+
+def cmd_demo_sam(args):
+    from pope_tpu.pipeline import load_models
+    from pope_tpu.pipeline.demos import demo_sam_masks
+
+    models = load_models(sam_checkpoint=args.sam_checkpoint, sam_type=args.sam_type)
+    demo_sam_masks(models, args.image, args.out)
+    print(f"wrote {args.out}")
+
+
+def cmd_extract(args):
+    from pope_tpu.eval.extract import extract_dataset
+
+    extract_dataset(args)
+
+
+def cmd_train_regressor(args):
+    from pope_tpu.models.regressor.driver import train_main
+
+    train_main(args)
+
+
+def cmd_test_regressor(args):
+    from pope_tpu.models.regressor.driver import test_main
+
+    test_main(args)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="pope_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("eval", help="manifest-driven dataset evaluation")
+    pe.add_argument("--dataset", required=True, choices=["linemod", "onepose", "onepose_plusplus", "ycbv"])
+    pe.add_argument("--data-root", default="data")
+    pe.add_argument("--pairs-dir", default="data/pairs")
+    pe.add_argument("--max-pairs", type=int, default=None)
+    pe.add_argument("--xlsx", default=None)
+    pe.add_argument("--json-out", default=None)
+    _add_model_args(pe)
+    pe.set_defaults(fn=cmd_eval)
+
+    pd = sub.add_parser("demo-dinov2", help="patch-PCA heatmap demo")
+    pd.add_argument("--image", required=True)
+    pd.add_argument("--out", default="headmap.jpg")
+    pd.add_argument("--dinov2-checkpoint", default=None)
+    pd.set_defaults(fn=cmd_demo_dinov2)
+
+    ps = sub.add_parser("demo-sam", help="automatic mask generation demo")
+    ps.add_argument("--image", required=True)
+    ps.add_argument("--out", default="LINEMOD_mask.png")
+    _add_model_args(ps)
+    ps.set_defaults(fn=cmd_demo_sam)
+
+    px = sub.add_parser("extract", help="dump mkpts/crops for regressor training")
+    px.add_argument("--dataset", required=True, choices=["linemod", "onepose", "onepose_plusplus", "ycbv"])
+    px.add_argument("--data-root", default="data")
+    px.add_argument("--pairs-dir", default="data/pairs")
+    px.add_argument("--out-dir", required=True)
+    px.add_argument("--max-pairs", type=int, default=None)
+    _add_model_args(px)
+    px.set_defaults(fn=cmd_extract)
+
+    pt = sub.add_parser("train-regressor", help="train the pose regressor")
+    pt.add_argument("--dataset", required=True)
+    pt.add_argument("--points-dir", required=True)
+    pt.add_argument("--data-root", default="data")
+    pt.add_argument("--net-mode", default="mkpts", choices=["mkpts", "imgs", "mkpts+imgs"])
+    pt.add_argument("--rotation-mode", default="6d", choices=["6d", "quat", "matrix"])
+    pt.add_argument("--epochs", type=int, default=100)
+    pt.add_argument("--num-sample", type=int, default=500)
+    pt.add_argument("--ckpt-dir", default="checkpoints")
+    pt.set_defaults(fn=cmd_train_regressor)
+
+    pr = sub.add_parser("test-regressor", help="evaluate a trained regressor")
+    pr.add_argument("--dataset", required=True)
+    pr.add_argument("--points-dir", required=True)
+    pr.add_argument("--data-root", default="data")
+    pr.add_argument("--ckpt", required=True)
+    pr.add_argument("--num-sample", type=int, default=500)
+    pr.set_defaults(fn=cmd_test_regressor)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

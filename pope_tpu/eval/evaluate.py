@@ -1,0 +1,164 @@
+"""Dataset evaluation driver (the eval_*_json.py / acc1-30_*.py equivalent).
+
+Reference behavior: eval_linemod_json.py:41-188 — per-object metric dicts,
+GT relative pose = pose1 @ inv(pose0) (:137-143), AP50 recall of the chosen
+box vs the projected 3-D bbox rectangle (:152-159), per-pair
+relative_pose_error with a 90-degree penalty when the solver fails
+(:163-168), tabulate per-object table with an Avg row (:183-188), and the
+acc1-30_* variants' xlsx export (acc1-30_onepose.py:184-189).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from pope_tpu.eval.manifest import DATASETS, DatasetSpec, iter_pairs, load_manifest
+from pope_tpu.utils.metrics import aggregate_metrics, recall_object
+
+
+def evaluate_pairs(
+    pair_results: Iterable[dict],
+    failure_penalty_deg: float = 90.0,
+) -> Dict[str, dict]:
+    """Aggregate a stream of per-pair records into per-object metric tables.
+
+    Each record: {object, identifier, ok, R_err, t_err, pre_bbox, gt_bbox}.
+    Returns {object: {metrics..., 'AP50': recall}}.
+    """
+    per_obj: Dict[str, dict] = {}
+    for rec in pair_results:
+        obj = rec["object"]
+        m = per_obj.setdefault(
+            obj, {"R_errs": [], "t_errs": [], "identifiers": [], "recalled": 0, "total": 0}
+        )
+        m["total"] += 1
+        if rec.get("pre_bbox") is not None and rec.get("gt_bbox") is not None:
+            iou = recall_object(rec["pre_bbox"], rec["gt_bbox"])
+            m["recalled"] += int(iou > 0.5)
+        if rec["ok"]:
+            m["R_errs"].append(float(rec["R_err"]))
+            m["t_errs"].append(float(rec["t_err"]))
+        else:
+            m["R_errs"].append(failure_penalty_deg)
+            m["t_errs"].append(failure_penalty_deg)
+        m["identifiers"].append(rec["identifier"])
+
+    out = {}
+    for obj, m in per_obj.items():
+        agg = aggregate_metrics(m)
+        agg["AP50"] = m["recalled"] / max(m["total"], 1)
+        out[obj] = agg
+    return out
+
+
+def results_table(per_object: Dict[str, dict]) -> str:
+    """fancy-grid table with an Avg row (eval_linemod_json.py:183-188)."""
+    from tabulate import tabulate
+
+    objs = list(per_object)
+    headers = ["Category"] + list(per_object[objs[0]].keys())
+    rows = [[obj] + list(per_object[obj].values()) for obj in objs]
+    avg = np.asarray([r[1:] for r in rows], np.float64).mean(0)
+    rows.append(["Avg"] + avg.tolist())
+    return tabulate(rows, headers=headers, tablefmt="fancy_grid")
+
+
+def _write_minimal_xlsx(path: str, headers: List[str], rows: List[list]):
+    """Hand-rolled single-sheet xlsx (a zip of XML) — no openpyxl in the
+    runtime image. Readable by pandas/Excel/LibreOffice."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell(v):
+        if isinstance(v, (int, float, np.floating, np.integer)):
+            return f"<c t=\"n\"><v>{v}</v></c>"
+        return f"<c t=\"inlineStr\"><is><t>{escape(str(v))}</t></is></c>"
+
+    sheet_rows = "".join(
+        "<row>" + "".join(cell(v) for v in row) + "</row>"
+        for row in [headers] + rows
+    )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{sheet_rows}</sheetData></worksheet>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def results_to_xlsx(per_object: Dict[str, dict], path: str, decimals: int = 3):
+    """acc1-30_* style xlsx export with rounded values (to_excel.py)."""
+    objs = list(per_object)
+    headers = ["Category"] + list(per_object[objs[0]].keys())
+    rows = [[obj] + [round(v, decimals) for v in per_object[obj].values()] for obj in objs]
+    avg = np.asarray([r[1:] for r in rows], np.float64).mean(0)
+    rows.append(["Avg"] + [round(float(v), decimals) for v in avg])
+    _write_minimal_xlsx(path, headers, rows)
+    return rows
+
+
+def evaluate_dataset(
+    models,
+    dataset: str,
+    data_root: str,
+    pairs_dir: str,
+    run_pair: Callable,
+    max_pairs: Optional[int] = None,
+    progress: bool = True,
+) -> Dict[str, dict]:
+    """Run the full pipeline over a dataset's pair manifest.
+
+    `run_pair(models, paths, spec) -> record dict` performs the actual
+    per-pair compute (pipeline.runner.run_pair in production; injectable for
+    tests). Data layout must follow the reference conventions (manifest.py).
+    """
+    import cv2
+
+    spec = DATASETS[dataset]
+    manifest = load_manifest(pairs_dir, spec)
+    records: List[dict] = []
+    n = 0
+    for paths in iter_pairs(data_root, spec, manifest):
+        if max_pairs is not None and n >= max_pairs:
+            break
+        rec = run_pair(models, paths, spec)
+        records.append(rec)
+        n += 1
+        if progress and n % 50 == 0:
+            print(f"[{dataset}] {n} pairs")
+    return evaluate_pairs(records)

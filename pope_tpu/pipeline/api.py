@@ -1,0 +1,127 @@
+"""Model registry and loading (the pope_model_api.py equivalent).
+
+Reference behavior: pope_model_api.py:109-123 (get_model_info -> SAM ckpt
+path per size), :177-185 (matcher construction + checkpoint load with prefix
+strip), eval drivers' load_dinov2_model.
+
+Weights load from the reference's torch .pth layouts via the per-model
+converters; models fall back to deterministic random init when a checkpoint
+is absent (this container ships none — .MISSING_LARGE_BLOBS).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from pope_tpu.config import (
+    AMGConfig,
+    DinoV2Config,
+    MatcherConfig,
+    PipelineConfig,
+    SamConfig,
+    SamEncoderConfig,
+)
+from pope_tpu.models.dinov2 import DinoVisionTransformer, convert_torch_dinov2_state
+from pope_tpu.models.matcher import Matcher, convert_torch_matcher_state
+from pope_tpu.models.sam import AutomaticMaskGenerator, Sam, convert_torch_sam_state
+
+SAM_CHECKPOINTS = {
+    # pope_model_api.py:109-123
+    "b": ("weights/sam_vit_b_01ec64.pth", SamEncoderConfig.vit_b),
+    "l": ("weights/sam_vit_l_0b3195.pth", SamEncoderConfig.vit_l),
+    "h": ("weights/sam_vit_h_4b8939.pth", SamEncoderConfig.vit_h),
+}
+
+
+def _load_torch_state(path: str):
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in obj.items()}
+
+
+@dataclasses.dataclass
+class PopeModels:
+    """The loaded model bundle the drivers operate on."""
+
+    sam: Sam
+    sam_variables: Any
+    dinov2: DinoVisionTransformer
+    dinov2_variables: Any
+    matcher: Matcher
+    matcher_variables: Any
+    amg: AutomaticMaskGenerator
+    config: PipelineConfig
+
+
+def load_models(
+    config: PipelineConfig = PipelineConfig(),
+    sam_checkpoint: Optional[str] = None,
+    sam_type: str = "h",
+    dinov2_checkpoint: Optional[str] = None,
+    matcher_checkpoint: Optional[str] = None,
+    seed: int = 0,
+) -> PopeModels:
+    """Build SAM + DINOv2 + matcher, loading torch checkpoints when given.
+
+    Mirrors the driver bootstrap (eval_linemod_json.py:3-11 +
+    pope_model_api.py:177-185) in one call.
+    """
+    _, enc_factory = SAM_CHECKPOINTS[sam_type]
+    sam_cfg = dataclasses.replace(config.sam, encoder=enc_factory())
+    sam = Sam(sam_cfg)
+    if sam_checkpoint:
+        sam_vars = convert_torch_sam_state(_load_torch_state(sam_checkpoint), depth=sam_cfg.encoder.depth)
+    else:
+        rng = jax.random.PRNGKey(seed)
+        import jax.numpy as jnp
+
+        dummy = jnp.zeros((8, 8, 3))
+        sam_vars = jax.jit(
+            lambda r: sam.init(
+                r, jnp.zeros((sam_cfg.encoder.img_size, sam_cfg.encoder.img_size, 3)),
+                (sam_cfg.encoder.img_size, sam_cfg.encoder.img_size),
+                jnp.zeros((1, 2, 2)), jnp.zeros((1, 2), jnp.int32),
+            )
+        )(rng)
+        del dummy
+
+    dinov2 = DinoVisionTransformer(config.dinov2)
+    if dinov2_checkpoint:
+        dinov2_vars = convert_torch_dinov2_state(
+            _load_torch_state(dinov2_checkpoint), depth=config.dinov2.depth
+        )
+    else:
+        import jax.numpy as jnp
+
+        dinov2_vars = jax.jit(dinov2.init)(jax.random.PRNGKey(seed + 1), jnp.zeros((1, 196, 196, 3)))
+
+    matcher = Matcher(config.matcher)
+    if matcher_checkpoint:
+        matcher_vars = convert_torch_matcher_state(_load_torch_state(matcher_checkpoint))
+    else:
+        import jax.numpy as jnp
+
+        matcher_vars = jax.jit(matcher.init)(
+            jax.random.PRNGKey(seed + 2), jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 64, 64, 1))
+        )
+
+    amg = AutomaticMaskGenerator(sam, sam_vars, config.amg, sam_cfg)
+    return PopeModels(
+        sam=sam,
+        sam_variables=sam_vars,
+        dinov2=dinov2,
+        dinov2_variables=dinov2_vars,
+        matcher=matcher,
+        matcher_variables=matcher_vars,
+        amg=amg,
+        config=config,
+    )

@@ -1,0 +1,114 @@
+"""End-to-end pipeline test: a synthetic LINEMOD-layout mini dataset driven
+through segment -> retrieve -> match -> solve -> metrics with small random
+models. Checks the plumbing (paths, shapes, aggregation), not accuracy."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+import cv2
+import jax
+
+from pope_tpu.config import AMGConfig, CoarseMatchConfig, DinoV2Config, MatcherConfig, PipelineConfig
+from pope_tpu.eval import DATASETS, evaluate_dataset, results_to_xlsx
+from pope_tpu.eval.evaluate import results_table
+from pope_tpu.models.dinov2 import DinoVisionTransformer
+from pope_tpu.models.matcher import Matcher
+from pope_tpu.models.sam import AutomaticMaskGenerator, Sam, convert_torch_sam_state
+from pope_tpu.pipeline.api import PopeModels
+from pope_tpu.pipeline.runner import run_pair
+from tests.test_sam_parity import TEST_CFG as SAM_TEST_CFG
+from tests.torch_ref import load_reference_sam
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    _, sd = load_reference_sam(seed=2, size="test")
+    sam_vars = convert_torch_sam_state(sd, depth=4)
+    sam = Sam(SAM_TEST_CFG)
+
+    dcfg = DinoV2Config(img_size=196, embed_dim=64, depth=2, num_heads=2)
+    dinov2 = DinoVisionTransformer(dcfg)
+    d_vars = dinov2.init(jax.random.PRNGKey(0), np.zeros((1, 196, 196, 3), np.float32))
+
+    mcfg = MatcherConfig(match_coarse=CoarseMatchConfig(match_capacity=128))
+    matcher = Matcher(mcfg)
+    m_vars = matcher.init(
+        jax.random.PRNGKey(1), np.zeros((1, 64, 64, 1), np.float32), np.zeros((1, 64, 64, 1), np.float32)
+    )
+
+    cfg = PipelineConfig(
+        matcher=mcfg, dinov2=dcfg, amg=AMGConfig(points_per_side=4, pred_iou_thresh=-1e9, stability_score_thresh=0.0, mask_capacity=8)
+    )
+    amg = AutomaticMaskGenerator(sam, sam_vars, cfg.amg, SAM_TEST_CFG)
+    return PopeModels(
+        sam=sam, sam_variables=sam_vars,
+        dinov2=dinov2, dinov2_variables=d_vars,
+        matcher=matcher, matcher_variables=m_vars,
+        amg=amg, config=cfg,
+    )
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    """LINEMOD-layout: root/LM_dataset/<label>/<seq>/color{,_full}/..."""
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("data")
+    label = "0801-lm1-others"
+    seq = "lm1-3"
+    base = root / "LM_dataset" / label / seq
+    for sub in ("color", "color_full", "intrin", "intrin_ba", "poses_ba"):
+        os.makedirs(base / sub, exist_ok=True)
+    K = np.array([[200.0, 0, 80], [0, 200, 64], [0, 0, 1]])
+    pairs = []
+    for i in range(2):
+        ref = rng.uniform(0, 255, (128, 160, 3)).astype(np.uint8)
+        tgt = rng.uniform(0, 255, (128, 160, 3)).astype(np.uint8)
+        cv2.rectangle(tgt, (40, 30), (110, 100), (250, 240, 20), -1)
+        cv2.imwrite(str(base / "color" / f"{i}.png"), ref)
+        cv2.imwrite(str(base / "color_full" / f"{100+i}.png"), tgt)
+        np.savetxt(base / "intrin_ba" / f"{i}.txt", K)
+        np.savetxt(base / "intrin" / f"{100+i}.txt", K)
+        pose0 = np.hstack([np.eye(3), [[0], [0], [0.6]]])
+        pose1 = np.hstack([cv2.Rodrigues(np.array([0.05, 0.2, -0.1]))[0], [[0.02], [0.0], [0.62]]])
+        np.savetxt(base / "poses_ba" / f"{i}.txt", pose0)
+        np.savetxt(base / "poses_ba" / f"{100+i}.txt", pose1)
+        pairs.append(f"{label}/{seq}/color/{i}.png-{100+i}.png")
+    np.savetxt(root / "LM_dataset" / label / "box3d_corners.txt",
+               np.array([[x, y, z] for x in (-0.05, 0.05) for y in (-0.05, 0.05) for z in (-0.05, 0.05)]))
+
+    pairs_dir = root / "pairs"
+    os.makedirs(pairs_dir, exist_ok=True)
+    manifest = [{"0": pairs}]
+    with open(pairs_dir / "LINEMOD-test.json", "w") as f:
+        json.dump(manifest, f)
+    return str(root), str(pairs_dir)
+
+
+def test_full_pipeline_e2e(tiny_models, mini_dataset, tmp_path):
+    data_root, pairs_dir = mini_dataset
+    spec = dataclasses.replace(DATASETS["linemod"], crop_size=64)
+    import pope_tpu.eval.manifest as mf
+
+    orig = mf.DATASETS["linemod"]
+    mf.DATASETS["linemod"] = spec
+    try:
+        per_obj = evaluate_dataset(
+            tiny_models, "linemod", data_root, pairs_dir, run_pair, progress=False
+        )
+    finally:
+        mf.DATASETS["linemod"] = orig
+
+    assert len(per_obj) == 1
+    obj = list(per_obj)[0]
+    agg = per_obj[obj]
+    assert "R:ACC15" in agg and "AP50" in agg and "R:auc@30" in agg
+    assert 0.0 <= agg["AP50"] <= 1.0
+    # table + xlsx exports render
+    table = results_table(per_obj)
+    assert "Avg" in table
+    xlsx = tmp_path / "res.xlsx"
+    results_to_xlsx(per_obj, str(xlsx))
+    assert xlsx.exists()

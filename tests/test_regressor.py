@@ -1,0 +1,97 @@
+"""Regressor tests: embedding semantics, training-step loss descent, data
+collate semantics, rotation heads."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pope_tpu.config import RegressorConfig
+from pope_tpu.models.regressor import (
+    MkptsRegModel,
+    create_train_state,
+    eval_step,
+    nerf_embedding,
+    pose_loss,
+    train_step,
+)
+from pope_tpu.models.regressor.data import sample_mkpts
+
+
+def test_nerf_embedding_reference(rng):
+    """Channel order [x, sin(f0 x), cos(f0 x), ...] with linspace freqs
+    (model0429_mkpts.py:11-44, logscale=False)."""
+    x = rng.normal(0, 1, (4, 2)).astype(np.float32)
+    out = np.asarray(nerf_embedding(jnp.asarray(x), n_freqs=3, logscale=False))
+    freqs = np.linspace(1.0, 2.0**2, 3)
+    ref = [x]
+    for f in freqs:
+        ref.append(np.sin(f * x))
+        ref.append(np.cos(f * x))
+    np.testing.assert_allclose(out, np.concatenate(ref, -1), atol=1e-6)
+    assert out.shape == (4, 2 * (2 * 3 + 1))
+
+
+def test_sample_mkpts_pads_and_subsamples(rng):
+    import random
+
+    r = random.Random(0)
+    short = rng.normal(0, 1, (3, 2)).astype(np.float32)
+    padded = sample_mkpts(short, 8, r)
+    assert padded.shape == (8, 2)
+    np.testing.assert_array_equal(padded[3:], 0)
+    long = rng.normal(0, 1, (20, 2)).astype(np.float32)
+    sub = sample_mkpts(long, 8, r)
+    assert sub.shape == (8, 2)
+
+
+def _tiny_batch(rng, B=4, N=32):
+    from scipy.spatial.transform import Rotation
+
+    R = Rotation.random(B, random_state=0).as_matrix().astype(np.float32)
+    return {
+        "mkpts0": jnp.asarray(rng.uniform(0, 256, (B, N, 2)), jnp.float32),
+        "mkpts1": jnp.asarray(rng.uniform(0, 256, (B, N, 2)), jnp.float32),
+        "gt_R": jnp.asarray(R),
+        "gt_t": jnp.asarray(rng.normal(0, 0.3, (B, 3)), jnp.float32),
+    }
+
+
+def test_train_step_reduces_loss(rng):
+    cfg = RegressorConfig(num_sample=32, d_model=32, nhead=2, net_mode="mkpts", lr=1e-3)
+    model = MkptsRegModel(cfg)
+    batch = _tiny_batch(rng)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (batch["mkpts0"], batch["mkpts1"], None, None), cfg
+    )
+    step = jax.jit(train_step)
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+
+    out = jax.jit(eval_step)(state, batch)
+    assert out["R_err"].shape == (4,)
+    assert np.isfinite(np.asarray(out["R_err"])).all()
+
+
+def test_rotation_modes(rng):
+    for mode in ("matrix", "quat", "6d"):
+        cfg = RegressorConfig(num_sample=16, d_model=32, nhead=2, rotation_mode=mode)
+        model = MkptsRegModel(cfg)
+        m0 = jnp.asarray(rng.uniform(0, 1, (2, 16, 2)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), m0, m0)
+        t, R = model.apply(params, m0, m0)
+        assert t.shape == (2, 3)
+        assert R.shape == (2, 3, 3)
+        if mode != "matrix":  # quat/6d heads produce orthonormal rotations
+            eye = np.einsum("bij,bkj->bik", np.asarray(R), np.asarray(R))
+            np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-4)
+
+
+def test_pose_loss_zero_at_gt(rng):
+    t = jnp.asarray(rng.normal(0, 1, (3, 3)), jnp.float32)
+    R = jnp.broadcast_to(jnp.eye(3), (3, 3, 3))
+    loss, (tl, rl) = pose_loss(t, R, t, R)
+    assert float(tl) < 1e-10
+    assert float(rl) < 2e-3  # geodesic clamp floor
