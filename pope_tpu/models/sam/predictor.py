@@ -1,0 +1,101 @@
+"""SamPredictor equivalent: cache an image embedding, then prompt repeatedly.
+
+Reference behavior: segment_anything/predictor.py — set_image/set_torch_image
+(:35-91 resize longest side + preprocess + encoder, cached), predict /
+predict_torch (:170-245 prompt-batched decoding + postprocess to original
+frame), reset_image (:260-271). Functional: the embedding is just an array
+returned to the caller; this class only adds the reference's convenience
+surface on top of the jitted pieces.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pope_tpu.models.sam.sam import Sam, apply_coords, postprocess_masks, resize_longest_side
+
+
+class SamPredictor:
+    def __init__(self, sam: Sam, variables):
+        self.sam = sam
+        self.variables = variables
+        self._encode = jax.jit(
+            lambda v, img, hw: sam.apply(
+                v, sam.apply(v, img, hw, method=sam.preprocess), method=sam.encode_image
+            ),
+            static_argnames=("hw",),
+        )
+        self._decode = jax.jit(
+            lambda v, emb, pts, lbl, multi: sam.apply(
+                v, emb, pts, lbl, multimask_output=multi, method=sam.decode
+            ),
+            static_argnames=("multi",),
+        )
+        self.reset_image()
+
+    def reset_image(self):
+        self.features = None
+        self.original_hw: Optional[Tuple[int, int]] = None
+        self.input_hw: Optional[Tuple[int, int]] = None
+
+    @property
+    def is_image_set(self) -> bool:
+        return self.features is not None
+
+    def set_image(self, image_rgb: np.ndarray):
+        """(H, W, 3) uint8 RGB -> cached embedding (predictor.py:35-91)."""
+        import cv2
+
+        self.original_hw = image_rgb.shape[:2]
+        S = self.sam.config.encoder.img_size
+        self.input_hw = resize_longest_side(*self.original_hw, S)
+        resized = cv2.resize(
+            image_rgb, (self.input_hw[1], self.input_hw[0]), interpolation=cv2.INTER_LINEAR
+        )
+        self.features = self._encode(self.variables, jnp.asarray(resized), self.input_hw)
+        return self.features
+
+    def predict(
+        self,
+        point_coords: Optional[np.ndarray] = None,
+        point_labels: Optional[np.ndarray] = None,
+        box: Optional[np.ndarray] = None,
+        multimask_output: bool = True,
+        return_logits: bool = False,
+    ):
+        """Prompt with points (N, 2)/(N,) labels and/or a box (4,) in
+        ORIGINAL image coords; returns (masks (K, H, W), iou (K,),
+        low_res (K, 256, 256)) like predictor.py:93-168."""
+        assert self.is_image_set, "call set_image first"
+        pts = []
+        lbls = []
+        if point_coords is not None:
+            pts.append(np.asarray(point_coords, np.float32))
+            lbls.append(np.asarray(point_labels, np.int32))
+        if box is not None:
+            b = np.asarray(box, np.float32).reshape(2, 2)
+            pts.append(b)
+            lbls.append(np.asarray([2, 3], np.int32))
+        if point_coords is not None and box is None:
+            # pad slot (prompt_encoder.py:81-86)
+            pts.append(np.zeros((1, 2), np.float32))
+            lbls.append(np.asarray([-1], np.int32))
+        coords = np.concatenate(pts, 0)[None]
+        labels = np.concatenate(lbls, 0)[None]
+        coords = np.asarray(apply_coords(jnp.asarray(coords), self.original_hw, self.sam.config.encoder.img_size))
+
+        low_res, iou = self._decode(
+            self.variables, self.features, jnp.asarray(coords), jnp.asarray(labels), multimask_output
+        )
+        masks = postprocess_masks(
+            low_res, self.input_hw, self.original_hw, self.sam.config.encoder.img_size
+        )
+        masks = np.asarray(masks[0])
+        if not return_logits:
+            masks = masks > 0.0
+        return masks, np.asarray(iou[0]), np.asarray(low_res[0])

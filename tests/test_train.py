@@ -1,0 +1,131 @@
+"""Matcher training infra tests: supervision parity with the reference
+semantics on synthetic depth, loss behavior, and a full sharded train step
+over the 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pope_tpu.config import BackboneConfig, CoarseMatchConfig, LoFTRStageConfig, MatcherConfig
+from pope_tpu.models.matcher import Matcher
+from pope_tpu.parallel import make_mesh, shard_batch, shard_params_tp
+from pope_tpu.train import (
+    build_optimizer,
+    coarse_loss,
+    fine_loss,
+    matcher_train_step,
+    make_sharded_train_step,
+    spvs_coarse,
+    warp_kpts,
+)
+from pope_tpu.train.loss import LossConfig
+from pope_tpu.train.optim import OptimConfig
+from pope_tpu.train.trainer import init_matcher_train_state
+
+
+def _synth_batch(rng, B=2, H=64, W=64):
+    """Fronto-parallel plane at depth 2 with a pure translation: warps are
+    exactly computable."""
+    img0 = rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32)
+    img1 = rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32)
+    depth = np.full((B, H, W), 2.0, np.float32)
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.2  # x-shift -> 10px at f=100, z=2
+    Tinv = np.linalg.inv(T)
+    return {
+        "image0": jnp.asarray(img0),
+        "image1": jnp.asarray(img1),
+        "depth0": jnp.asarray(depth),
+        "depth1": jnp.asarray(depth),
+        "T_0to1": jnp.asarray(np.tile(T, (B, 1, 1))),
+        "T_1to0": jnp.asarray(np.tile(Tinv, (B, 1, 1))),
+        "K0": jnp.asarray(np.tile(K, (B, 1, 1))),
+        "K1": jnp.asarray(np.tile(K, (B, 1, 1))),
+    }
+
+
+def test_warp_kpts_translation(rng):
+    b = _synth_batch(rng)
+    kpts = jnp.asarray([[[20.0, 30.0], [40.0, 10.0]]])
+    valid, warped = warp_kpts(
+        kpts, b["depth0"][:1], b["depth1"][:1], b["T_0to1"][:1, :3], b["K0"][:1], b["K1"][:1]
+    )
+    # x shifted by f*tx/z = 100*0.2/2 = 10px
+    np.testing.assert_allclose(np.asarray(warped)[0, :, 0], [30.0, 50.0], atol=1e-2)  # +1e-4 depth guard
+    np.testing.assert_allclose(np.asarray(warped)[0, :, 1], [30.0, 10.0], atol=1e-2)
+    assert bool(valid[0, 0]) and bool(valid[0, 1])
+
+
+def test_spvs_coarse_translation(rng):
+    b = _synth_batch(rng)
+    spv = spvs_coarse(b, coarse_scale=8)
+    conf_gt = np.asarray(spv["conf_matrix_gt"])
+    assert conf_gt.shape == (2, 64, 64)
+    # 10px shift = 1.25 coarse cells; each valid row matches the cell one to
+    # the right (rounded)
+    b_ids, i_ids = np.nonzero(np.asarray(spv["spv_valid"]))
+    assert len(b_ids) > 0
+    j_ids = np.asarray(spv["spv_j_of_i"])[b_ids, i_ids]
+    di = j_ids - i_ids
+    assert (di == 1).mean() > 0.9  # most matches shifted one cell in x
+
+
+def test_coarse_loss_prefers_gt(rng):
+    gt = jnp.zeros((1, 16, 16)).at[0, 3, 5].set(1.0)
+    good = jnp.clip(gt * 0.9 + 0.01, 0, 1)
+    bad = jnp.full((1, 16, 16), 0.5)
+    assert float(coarse_loss(good, gt)) < float(coarse_loss(bad, gt))
+
+
+def test_fine_loss_masks_invalid():
+    pred = jnp.zeros((1, 4, 3)).at[..., 2].set(1.0)
+    gt = jnp.asarray([[[0.1, 0.1], [5.0, 5.0], [0.2, 0.0], [0.0, 0.0]]])
+    valid = jnp.asarray([[True, True, False, False]])
+    # only slot 0 contributes (slot 1 outside window, 2/3 invalid); use the
+    # plain l2 flavor for an exact expectation (l2_with_std renormalizes)
+    loss = float(fine_loss(pred, gt, valid, LossConfig(fine_type="l2")))
+    expected = 0.1**2 + 0.1**2
+    assert abs(loss - expected) < 1e-5
+    loss_std = float(fine_loss(pred, gt, valid))
+    assert np.isfinite(loss_std) and loss_std > 0
+
+
+def _tiny_matcher():
+    return Matcher(
+        MatcherConfig(
+            backbone=BackboneConfig(initial_dim=16, block_dims=(16, 24, 32)),
+            coarse=LoFTRStageConfig(d_model=32, d_ffn=32, nhead=2, layer_names=("self", "cross")),
+            fine=LoFTRStageConfig(d_model=16, d_ffn=16, nhead=2, layer_names=("self", "cross")),
+            match_coarse=CoarseMatchConfig(match_capacity=32),
+        )
+    )
+
+
+def test_matcher_train_step_runs_and_descends(rng):
+    matcher = _tiny_matcher()
+    tx = build_optimizer(OptimConfig(lr=1e-3, warmup_steps=0, scheduler="ExponentialLR", elr_gamma=1.0))
+    batch = _synth_batch(rng)
+    state = init_matcher_train_state(matcher, tx, jax.random.PRNGKey(0), batch)
+    step = jax.jit(lambda s, b: matcher_train_step(matcher, tx, s, b))
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_sharded_train_step_8dev(rng):
+    matcher = _tiny_matcher()
+    tx = build_optimizer(OptimConfig(lr=1e-4, warmup_steps=0))
+    mesh = make_mesh(8)
+    batch = _synth_batch(rng, B=8)
+    state = init_matcher_train_state(matcher, tx, jax.random.PRNGKey(0), batch)
+    with mesh:
+        sharded_batch = shard_batch(mesh, batch)
+        state = state._replace(params=shard_params_tp(mesh, state.params))
+        step = make_sharded_train_step(matcher, tx, mesh)
+        new_state, metrics = step(state, sharded_batch)
+        jax.block_until_ready(new_state.params)
+    assert np.isfinite(float(metrics["loss"]))
