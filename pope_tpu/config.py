@@ -99,6 +99,7 @@ class SamEncoderConfig:
     window_size: int = 14
     global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
     use_rel_pos: bool = True
+    use_flash_attention: bool = True  # Pallas fused kernel on global layers (TPU)
     dtype: str = "bfloat16"
 
     @classmethod

@@ -55,23 +55,37 @@ def _rel_pos_table(rel_pos, q_size: int, k_size: int):
     return rel_pos[rel.astype(jnp.int32)]  # (q, k, d)
 
 
-def _attention_with_rel_pos(q, k, v, rel_pos_h, rel_pos_w, hw: Tuple[int, int]):
+def _attention_with_rel_pos(q, k, v, rel_pos_h, rel_pos_w, hw: Tuple[int, int], use_flash: bool = False):
     """(B, N, nh, d) attention with decomposed rel-pos bias
-    (image_encoder.py:326-360)."""
+    (image_encoder.py:326-360). When `use_flash` and the token count is
+    large (the 4096-token global layers), the fused Pallas kernel keeps the
+    (N, N) logits in VMEM instead of round-tripping them through HBM."""
     B, N, nh, d = q.shape
     H, W = hw
-    scale = d**-0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
 
     Rh = _rel_pos_table(rel_pos_h, H, H)  # (H, H, d)
     Rw = _rel_pos_table(rel_pos_w, W, W)
     r_q = q.reshape(B, H, W, nh, d)
     rel_h = jnp.einsum("bhwnc,hkc->bnhwk", r_q, Rh.astype(q.dtype))  # (B, nh, H, W, Hk)
     rel_w = jnp.einsum("bhwnc,wkc->bnhwk", r_q, Rw.astype(q.dtype))
+
+    if use_flash and N >= 1024:
+        from pope_tpu.ops.flash_attention import flash_attention_relpos
+
+        qf = q.transpose(0, 2, 1, 3).reshape(B * nh, N, d)
+        kf = k.transpose(0, 2, 1, 3).reshape(B * nh, N, d)
+        vf = v.transpose(0, 2, 1, 3).reshape(B * nh, N, d)
+        out = flash_attention_relpos(
+            qf, kf, vf,
+            rel_h.reshape(B * nh, N, H), rel_w.reshape(B * nh, N, W), H, W,
+        )
+        return out.reshape(B, nh, N, d).transpose(0, 2, 1, 3).reshape(B, N, nh * d)
+
+    scale = d**-0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
     logits = logits.reshape(B, nh, H, W, H, W)
     logits = logits + rel_h[..., :, None] + rel_w[..., None, :]
     logits = logits.reshape(B, nh, N, N)
-
     attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
     return out.reshape(B, N, nh * d)
@@ -85,6 +99,7 @@ class EncoderBlock(nn.Module):
     use_rel_pos: bool
     grid: int  # full feature grid side (img/patch)
     dtype: jnp.dtype = jnp.bfloat16
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -116,7 +131,10 @@ class EncoderBlock(nn.Module):
             side = ws if ws > 0 else self.grid
             rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros, (2 * side - 1, d))
             rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros, (2 * side - 1, d))
-            attn_out = _attention_with_rel_pos(q, k, v, rel_pos_h, rel_pos_w, q_hw)
+            flash_ok = self.use_flash and jax.default_backend() == "tpu"
+            attn_out = _attention_with_rel_pos(
+                q, k, v, rel_pos_h, rel_pos_w, q_hw, use_flash=flash_ok
+            )
         else:
             attn_out = jax.nn.dot_product_attention(q, k, v).reshape(
                 tokens.shape[0], tokens.shape[1], C
@@ -169,6 +187,7 @@ class ImageEncoderViT(nn.Module):
                 use_rel_pos=cfg.use_rel_pos,
                 grid=grid,
                 dtype=dtype,
+                use_flash=cfg.use_flash_attention,
                 name=f"block_{i}",
             )(x)
 

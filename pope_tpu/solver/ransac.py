@@ -64,13 +64,17 @@ def _masked_quantile(x, maskf, q):
     return xs[idx]
 
 
-def _eight_point(p0, p1, w=None):
+def _eight_point(p0, p1, w=None, project: bool = True):
     """Least-squares essential matrix from >=8 correspondences.
 
     p0, p1: (K, 2) normalized (camera) coords; w: optional (K,) weights.
     Hartley-conditions both point sets, solves min ||A e|| via the smallest
-    eigenvector of A^T A, projects onto the essential manifold (singular
-    values -> (1, 1, 0)), and undoes the conditioning (E = T1^T E' T0).
+    eigenvector of A^T A, optionally projects onto the essential manifold
+    (singular values -> (1, 1, 0)), and undoes the conditioning
+    (E = T1^T E' T0). Scoring-stage hypotheses skip the projection — the
+    Sampson distance ranks unprojected fundamental-style fits just as well,
+    and it halves the batched-SVD count on the hot path; refit outputs are
+    always projected.
     """
     if w is None:
         w = jnp.ones(p0.shape[0], p0.dtype)
@@ -86,6 +90,8 @@ def _eight_point(p0, p1, w=None):
     _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     e = vecs[:, 0]
     E = T1.T @ e.reshape(3, 3) @ T0
+    if not project:
+        return E
     # project to essential manifold
     U, S, Vt = jnp.linalg.svd(E)
     S_proj = jnp.array([1.0, 1.0, 0.0], E.dtype)
@@ -264,7 +270,9 @@ def estimate_pose_ransac(
         )
         scores = jnp.where(valid[None, :], lw + g, -jnp.inf)
         _, samples = jax.lax.top_k(scores, sample_size)  # (H, k)
-        E_h = jax.vmap(_eight_point)(p0[samples], p1[samples])  # (H, 3, 3)
+        E_h = jax.vmap(lambda a, b: _eight_point(a, b, project=False))(
+            p0[samples], p1[samples]
+        )  # (H, 3, 3)
         d = sampson_distance(p0[None], p1[None], E_h)  # (H, N)
         ls = band_score_of(d, LOOSE) + band_score_of(d, 4.0)
         b = jnp.argmax(ls)

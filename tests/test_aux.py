@@ -1,0 +1,116 @@
+"""Aux subsystem tests: profiler, loader/prefetcher, mask utils, checkpoint
+roundtrip, export roundtrip, collectives single-process paths, plotting,
+augment."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pope_tpu.data.augment import DarkAug, MobileAug, build_augmentor
+from pope_tpu.data.loader import DevicePrefetcher, ThreadedLoader
+from pope_tpu.parallel.collectives import all_gather_arrays, get_rank, get_world_size, reduce_dict
+from pope_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from pope_tpu.utils.mask_utils import common_resize, convert_contour2mask, convert_mask_to_polygon, letterbox_image
+from pope_tpu.utils.plotting import dynamic_alpha, error_colormap, make_matching_figure
+from pope_tpu.utils.profiling import InferenceProfiler, build_profiler
+
+
+def test_profiler_accumulates():
+    prof = InferenceProfiler()
+    x = jnp.ones((16, 16))
+    with prof.profile("matmul", sync_on=None):
+        y = x @ x
+    with prof.profile("matmul", sync_on=y):
+        y = x @ x
+    assert prof.counts["matmul"] == 2
+    assert "matmul" in prof.summary()
+    assert build_profiler(None).summary() == "(passthrough profiler)"
+
+
+def test_threaded_loader_and_prefetcher():
+    items = list(range(20))
+    loader = ThreadedLoader(lambda: iter(items), prefetch=4)
+    assert list(loader) == items
+    batches = [{"x": np.full((2, 2), i)} for i in range(5)]
+    out = list(DevicePrefetcher(batches))
+    assert len(out) == 5
+    np.testing.assert_array_equal(np.asarray(out[3]["x"]), batches[3]["x"])
+
+
+def test_mask_polygon_roundtrip():
+    mask = np.zeros((40, 50), np.uint8)
+    mask[10:30, 15:35] = 1
+    poly = convert_mask_to_polygon(mask)
+    back = convert_contour2mask(poly, 40, 50)
+    # contour-filled mask covers the original rectangle closely
+    inter = (back & mask.astype(bool)).sum()
+    assert inter / mask.sum() > 0.95
+
+
+def test_common_resize_and_letterbox(rng):
+    img = rng.uniform(0, 255, (60, 120, 3)).astype(np.uint8)
+    out, scale = common_resize(img, 240)
+    assert max(out.shape[:2]) == 240 and abs(scale - 2.0) < 1e-6
+    boxed = letterbox_image(img, (100, 100))
+    assert boxed.shape == (100, 100, 3)
+    assert boxed[0, 0, 0] == 128  # gray padding
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3), "b": {"c": np.ones(4)}}
+    p = str(tmp_path / "step_10")
+    save_checkpoint(p, tree)
+    back = load_checkpoint(p, tree)
+    np.testing.assert_array_equal(np.asarray(back["a"]), tree["a"])
+    save_checkpoint(str(tmp_path / "step_3"), tree)
+    assert latest_checkpoint(str(tmp_path)).endswith("step_10")
+
+
+def test_collectives_single_process():
+    assert get_world_size() == 1 and get_rank() == 0
+    t = {"x": np.ones(3)}
+    assert all_gather_arrays(t) is t
+    assert reduce_dict({"m": 2.0}) == {"m": 2.0}
+
+
+def test_plotting(tmp_path, rng):
+    img0 = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+    img1 = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+    mk0 = rng.uniform(0, 32, (10, 2)).astype(np.float32)
+    mk1 = rng.uniform(0, 32, (10, 2)).astype(np.float32)
+    color = error_colormap(rng.uniform(0, 1, 10), 0.5)
+    assert color.shape == (10, 4)
+    assert 0.9 < dynamic_alpha(10) <= 1.0
+    assert dynamic_alpha(1500) < dynamic_alpha(100)
+    out = tmp_path / "match.png"
+    make_matching_figure(img0, img1, mk0, mk1, color=color, path=str(out))
+    assert out.exists()
+
+
+def test_augment(rng):
+    img = rng.uniform(0, 255, (48, 48, 3)).astype(np.uint8)
+    assert DarkAug(0)(img).shape == img.shape
+    assert MobileAug(0)(img).shape == img.shape
+    assert build_augmentor("none") is None
+    assert build_augmentor("dark") is not None
+
+
+def test_export_roundtrip(rng):
+    from pope_tpu.export import export_sam_decoder, load_exported
+    from tests.test_sam_parity import TEST_CFG
+    from pope_tpu.models.sam import Sam, convert_torch_sam_state
+    from tests.torch_ref import load_reference_sam
+
+    _, sd = load_reference_sam(seed=4, size="test")
+    variables = convert_torch_sam_state(sd, depth=4)
+    sam = Sam(TEST_CFG)
+    blob = export_sam_decoder(sam, variables, num_points=4)
+    fn = load_exported(blob)
+    emb = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 64)), jnp.float32)
+    pts = jnp.asarray(rng.uniform(0, 256, (1, 4, 2)), jnp.float32)
+    lbl = jnp.asarray([[1, -1, -1, -1]], jnp.int32)
+    masks, iou = fn.call(emb, pts, lbl)
+    assert masks.shape[0] == 1 and masks.shape[1] == 3
+    # matches the live decode
+    ref_masks, ref_iou = sam.apply(variables, emb, pts, lbl, multimask_output=True, method=sam.decode)
+    np.testing.assert_allclose(np.asarray(masks), np.asarray(ref_masks), atol=1e-5)
