@@ -99,7 +99,11 @@ class SamEncoderConfig:
     window_size: int = 14
     global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
     use_rel_pos: bool = True
-    use_flash_attention: bool = True  # Pallas fused kernel on global layers (TPU)
+    # Pallas fused attention for the 4096-token global layers. Correct
+    # (tests/test_flash_attention.py) but the Mosaic compile of the 4096-wide
+    # kernel exceeds 10 minutes through this environment's remote-compile
+    # service, so it ships opt-in until the kernel is retiled.
+    use_flash_attention: bool = False
     dtype: str = "bfloat16"
 
     @classmethod

@@ -95,3 +95,21 @@ def test_pose_loss_zero_at_gt(rng):
     loss, (tl, rl) = pose_loss(t, R, t, R)
     assert float(tl) < 1e-10
     assert float(rl) < 2e-3  # geodesic clamp floor
+
+
+def test_dinov2_poser_forward_and_loss(rng):
+    from pope_tpu.config import DinoV2Config
+    from pope_tpu.models.regressor.dinov2_poser import DINOv2Poser, posenet_loss
+    from scipy.spatial.transform import Rotation
+
+    cfg = DinoV2Config(img_size=28, patch_size=14, embed_dim=32, depth=1, num_heads=2)
+    model = DINOv2Poser(dinov2=cfg, token_dim=32, nhead=2, depth=1)
+    x0 = jnp.asarray(rng.normal(0, 1, (2, 28, 28, 3)), jnp.float32)
+    x1 = jnp.asarray(rng.normal(0, 1, (2, 28, 28, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, x1)
+    t, quat = jax.jit(model.apply)(params, x0, x1)
+    assert t.shape == (2, 3) and quat.shape == (2, 4)
+    gt_R = jnp.asarray(Rotation.random(2, random_state=0).as_matrix(), jnp.float32)
+    gt_t = jnp.asarray(rng.normal(0, 1, (2, 3)), jnp.float32)
+    loss = float(posenet_loss(t, quat, gt_t, gt_R))
+    assert np.isfinite(loss) and loss > 0
