@@ -45,7 +45,6 @@ def main():
     from pope_tpu.models.matcher import Matcher
     from pope_tpu.models.sam import AutomaticMaskGenerator, Sam
     from pope_tpu.pipeline.api import PopeModels
-    from pope_tpu.pipeline.pose_pipeline import estimate_pair
 
     rng = np.random.default_rng(0)
     H1, W1 = 480, 640  # LINEMOD target frame
@@ -76,8 +75,10 @@ def main():
         matcher=matcher, matcher_variables=m_vars, amg=amg, config=cfg,
     )
 
-    # ---- per-pair program ----
+    # ---- per-pair program (stage-jitted: one fused program tops 10 min of
+    # XLA compile; stages compile separately and cache) ----
     from pope_tpu.models.sam.sam import resize_longest_side
+    from pope_tpu.pipeline.pose_pipeline import PipelineExecutor
 
     in_h, in_w = resize_longest_side(H1, W1, sam_cfg.encoder.img_size)
     img1_resized = jnp.asarray(rng.uniform(0, 255, (in_h, in_w, 3)), jnp.float32)
@@ -91,17 +92,15 @@ def main():
             v, sam.apply(v, im, (in_h, in_w), method=sam.preprocess), method=sam.encode_image
         )
     )
-    pair_fn = jax.jit(
-        lambda emb, i0, i1, key: estimate_pair(
-            models, i0, i1, K, K,
-            models.amg._generate_jit(emb, input_h=in_h, input_w=in_w, orig_h=H1, orig_w=W1),
-            ref_cls, key,
-        )
-    )
+    executor = PipelineExecutor(models, crop_size=256)
 
     def one_pair(i):
         emb = encode(sam_vars, img1_resized)
-        res = pair_fn(emb, img0, img1, jax.random.fold_in(jax.random.PRNGKey(0), i))
+        amg_res = models.amg._generate_jit(emb, input_h=in_h, input_w=in_w, orig_h=H1, orig_w=W1)
+        res = executor.estimate_pair(
+            img0, img1, K, K, amg_res, ref_cls,
+            jax.random.fold_in(jax.random.PRNGKey(0), i),
+        )
         return float(res.R[0, 0])  # forces full completion + host readback
 
     one_pair(0)  # compile + warm

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from pope_tpu.eval.manifest import DATASETS, iter_pairs, load_manifest
 from pope_tpu.models.dinov2.preprocess import preprocess_image
-from pope_tpu.pipeline.pose_pipeline import estimate_pair
+from pope_tpu.pipeline.runner import get_executor
 
 SUBDIRS = ("pre_bbox", "mkpts0", "mkpts1", "pre_K", "img0", "img1")
 
@@ -39,8 +39,7 @@ def extract_pair(models, paths, spec, out_dir: str, key=None) -> bool:
     ref_in = preprocess_image(img0, center_crop=True)
     ref_cls = models.dinov2.apply(models.dinov2_variables, ref_in)["x_norm_clstoken"][0]
     amg_res = models.amg.generate(img1)
-    result = estimate_pair(
-        models,
+    result = get_executor(models, spec.crop_size).estimate_pair(
         jnp.asarray(img0, jnp.float32) / 255.0,
         jnp.asarray(img1, jnp.float32) / 255.0,
         jnp.asarray(K0),
@@ -48,7 +47,6 @@ def extract_pair(models, paths, spec, out_dir: str, key=None) -> bool:
         amg_res,
         ref_cls,
         key,
-        crop_size=spec.crop_size,
     )
 
     ok = np.asarray(result.match_valid)

@@ -155,6 +155,52 @@ def warp_affine(image, M, out_hw):
     return out
 
 
+def _axis_lerp_gather(image, pos, axis):
+    """1-D linear interpolation of `image` along `axis` at fractional
+    positions `pos` (out-of-range taps contribute 0, cv2 BORDER_CONSTANT)."""
+    n = image.shape[axis]
+    i0 = jnp.floor(pos)
+    frac = pos - i0
+    i0i = i0.astype(jnp.int32)
+
+    def tap(idx):
+        valid = (idx >= 0) & (idx < n)
+        v = jnp.take(image, jnp.clip(idx, 0, n - 1), axis=axis)
+        shape = [1] * v.ndim
+        shape[axis] = len(pos)
+        return v * valid.reshape(shape)
+
+    shape = [1] * image.ndim
+    shape[axis] = len(pos)
+    f = frac.reshape(shape)
+    return tap(i0i) * (1 - f) + tap(i0i + 1) * f
+
+
+def crop_resize_bilinear(image, box, out_hw):
+    """Axis-aligned crop+resize with the exact sampling grid of the
+    reference's rot=0 warpAffine path, as two separable 1-D lerps.
+
+    Equivalent to warp_affine(get_affine_transform(...rot=0...)) but with a
+    compile footprint that stays small under heavy vmap (the 2-D gather
+    version dominates pipeline compile time when vmapped over the mask
+    capacity).
+    """
+    out_h, out_w = out_hw
+    box = jnp.asarray(box, jnp.float32)
+    bw = jnp.maximum(box[2] - box[0], 1e-3)
+    bh = jnp.maximum(box[3] - box[1], 1e-3)
+    cx = (box[0] + box[2]) / 2.0
+    cy = (box[1] + box[3]) / 2.0
+    sx = out_w / bw
+    sy = out_h / bh
+    xs = (jnp.arange(out_w, dtype=jnp.float32) - out_w / 2.0) / sx + cx
+    ys = (jnp.arange(out_h, dtype=jnp.float32) - out_h / 2.0) / sy + cy
+    img = image.astype(jnp.float32)
+    img = _axis_lerp_gather(img, ys, 0)
+    img = _axis_lerp_gather(img, xs, 1)
+    return img.astype(image.dtype)
+
+
 @f32_matmul
 def get_image_crop_resize(image, box, resize_shape):
     """Crop `box` = [x0, y0, x1, y1] out of `image` and resize to `resize_shape`
@@ -166,7 +212,7 @@ def get_image_crop_resize(image, box, resize_shape):
     scale = jnp.maximum(jnp.stack([box[2] - box[0], box[3] - box[1]]), 1e-3)
     resize_h, resize_w = int(resize_shape[0]), int(resize_shape[1])
     trans = get_affine_transform(center, scale, 0.0, (resize_w, resize_h))
-    crop = warp_affine(image, trans, (resize_h, resize_w))
+    crop = crop_resize_bilinear(image, box, (resize_h, resize_w))
     return crop, _to_homo3(trans)
 
 

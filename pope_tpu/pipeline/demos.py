@@ -71,7 +71,7 @@ def demo_3dbbox(
 
     from pope_tpu.geometry.pose import project_points
     from pope_tpu.models.dinov2.preprocess import preprocess_image
-    from pope_tpu.pipeline.pose_pipeline import estimate_pair
+    from pope_tpu.pipeline.runner import get_executor
     from pope_tpu.utils.draw import draw_axis, draw_bbox_3d, draw_correspondence
 
     img0 = cv2.cvtColor(cv2.imread(prompt_path), cv2.COLOR_BGR2RGB)
@@ -79,8 +79,7 @@ def demo_3dbbox(
     ref_in = preprocess_image(img0, center_crop=True)
     ref_cls = models.dinov2.apply(models.dinov2_variables, ref_in)["x_norm_clstoken"][0]
     amg_res = models.amg.generate(img1)
-    result = estimate_pair(
-        models,
+    result = get_executor(models, 256).estimate_pair(
         jnp.asarray(img0, jnp.float32) / 255.0,
         jnp.asarray(img1, jnp.float32) / 255.0,
         jnp.asarray(K0, jnp.float32),

@@ -30,6 +30,59 @@ from pope_tpu.models.dinov2.preprocess import IMAGENET_MEAN, IMAGENET_STD, cls_t
 from pope_tpu.solver import estimate_pose_ransac
 
 
+class PipelineExecutor:
+    """Stage-jitted pipeline: retrieval / matching / solving compile as
+    separate cached programs (a single fused estimate_pair program tops
+    10 minutes of XLA compile at SAM scale; stage splits compile in seconds
+    each and the host handoffs between stages are microseconds)."""
+
+    def __init__(self, models, crop_size: int = 256):
+        self.models = models
+        self.crop_size = crop_size
+        cfg = models.config
+
+        def retrieve(image1, boxes_xywh, valid, K1, ref_cls):
+            return retrieve_top_k(
+                models, image1, boxes_xywh, valid, K1, ref_cls,
+                top_k=cfg.top_k, crop_size=crop_size,
+            )
+
+        def match(image0_rgb01, crops):
+            ref_gray = _rgb01_to_gray(image0_rgb01)
+            crop_grays = jax.vmap(_rgb01_to_gray)(crops)
+            res, strong = match_and_score(models, ref_gray, crop_grays, cfg.matcher.mconf_strong_thr)
+            best = jnp.argmax(strong)
+            return (
+                res.mkpts0[best], res.mkpts1[best], res.mconf[best],
+                res.valid[best], strong[best], best,
+            )
+
+        def solve(mkpts0, mkpts1, K0, pre_K, valid, key):
+            return estimate_pose_ransac(
+                mkpts0, mkpts1, K0, pre_K, valid, key, thresh_px=cfg.ransac_thresh_px
+            )
+
+        self._retrieve = jax.jit(retrieve)
+        self._match = jax.jit(match)
+        self._solve = jax.jit(solve)
+
+    def estimate_pair(self, image0_rgb01, image1_rgb01, K0, K1, amg_result, ref_cls, key) -> "PairResult":
+        top_idx, sim, crops, crop_Ks, boxes = self._retrieve(
+            image1_rgb01, amg_result.boxes_xywh, amg_result.valid, K1, ref_cls
+        )
+        mkpts0, mkpts1, mconf, mvalid, n_strong, best = self._match(
+            jnp.asarray(image0_rgb01), crops
+        )
+        pre_K = crop_Ks[best]
+        pre_bbox = boxes[top_idx[best]]
+        sol = self._solve(mkpts0, mkpts1, K0, pre_K, mvalid, key)
+        return PairResult(
+            R=sol.R, t=sol.t, ok=sol.ok, pre_bbox=pre_bbox, pre_K=pre_K,
+            mkpts0=mkpts0, mkpts1=mkpts1, mconf=mconf, match_valid=mvalid,
+            n_strong=n_strong, sim_scores=sim,
+        )
+
+
 class PairResult(NamedTuple):
     R: jnp.ndarray  # (3, 3) relative rotation
     t: jnp.ndarray  # (3,) unit translation

@@ -14,7 +14,18 @@ import jax.numpy as jnp
 
 from pope_tpu.geometry.pose import project_points, relative_pose, relative_pose_error
 from pope_tpu.models.dinov2.preprocess import preprocess_image
-from pope_tpu.pipeline.pose_pipeline import estimate_pair
+from pope_tpu.pipeline.pose_pipeline import PipelineExecutor
+
+
+_EXECUTORS = {}
+
+
+def get_executor(models, crop_size: int) -> PipelineExecutor:
+    """Per-(models, crop_size) cached stage-jitted executor."""
+    key = (id(models), crop_size)
+    if key not in _EXECUTORS:
+        _EXECUTORS[key] = PipelineExecutor(models, crop_size)
+    return _EXECUTORS[key]
 
 
 def load_pose_4x4(path: str) -> np.ndarray:
@@ -54,8 +65,7 @@ def run_pair(models, paths, spec, key=None):
 
     amg_res = models.amg.generate(img1)
 
-    result = estimate_pair(
-        models,
+    result = get_executor(models, spec.crop_size).estimate_pair(
         jnp.asarray(img0, jnp.float32) / 255.0,
         jnp.asarray(img1, jnp.float32) / 255.0,
         jnp.asarray(K0),
@@ -63,7 +73,6 @@ def run_pair(models, paths, spec, key=None):
         amg_res,
         ref_cls,
         key,
-        crop_size=spec.crop_size,
     )
 
     pose0 = load_pose_4x4(paths.pose0)
