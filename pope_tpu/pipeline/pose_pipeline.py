@@ -62,9 +62,39 @@ class PipelineExecutor:
                 mkpts0, mkpts1, K0, pre_K, valid, key, thresh_px=cfg.ransac_thresh_px
             )
 
+        self._retrieve_fn = retrieve
+        self._match_fn = match
+        self._solve_fn = solve
         self._retrieve = jax.jit(retrieve)
         self._match = jax.jit(match)
         self._solve = jax.jit(solve)
+
+    def build_batched(self, n_pairs: int):
+        """vmapped multi-pair stages: (B, ...) images/boxes/cls -> per-pair
+        results. Batching the pair axis amortizes both the per-dispatch
+        overhead and the small-matrix linalg that dominates single-pair
+        latency; shard the leading axis over a dp mesh for multi-chip
+        (BASELINE.json config #5)."""
+        retrieve_b = jax.jit(jax.vmap(self._retrieve_fn))
+        match_b = jax.jit(jax.vmap(self._match_fn))
+        solve_b = jax.jit(jax.vmap(self._solve_fn))
+
+        def run(image0_b, image1_b, K0_b, K1_b, amg_boxes_b, amg_valid_b, ref_cls_b, keys):
+            top_idx, sim, crops, crop_Ks, boxes = retrieve_b(
+                image1_b, amg_boxes_b, amg_valid_b, K1_b, ref_cls_b
+            )
+            mkpts0, mkpts1, mconf, mvalid, n_strong, best = match_b(image0_b, crops)
+            bidx = jnp.arange(image0_b.shape[0])
+            pre_K = crop_Ks[bidx, best]
+            pre_bbox = boxes[bidx, top_idx[bidx, best]]
+            sol = solve_b(mkpts0, mkpts1, K0_b, pre_K, mvalid, keys)
+            return PairResult(
+                R=sol.R, t=sol.t, ok=sol.ok, pre_bbox=pre_bbox, pre_K=pre_K,
+                mkpts0=mkpts0, mkpts1=mkpts1, mconf=mconf, match_valid=mvalid,
+                n_strong=n_strong, sim_scores=sim,
+            )
+
+        return run
 
     def estimate_pair(self, image0_rgb01, image1_rgb01, K0, K1, amg_result, ref_cls, key) -> "PairResult":
         top_idx, sim, crops, crop_Ks, boxes = self._retrieve(

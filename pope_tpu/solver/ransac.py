@@ -132,7 +132,7 @@ def _exp_so3(w):
     return jnp.eye(3, dtype=w.dtype) + A * W + B * (W @ W)
 
 
-def refine_pose_gn(R, t, p0, p1, weights, iters: int = 8, damping: float = 1e-6):
+def refine_pose_gn(R, t, p0, p1, weights, iters: int = 5, damping: float = 1e-6):
     """Gauss-Newton refinement of (R, t) minimizing weighted Sampson error.
 
     Parameterizes the update as R <- exp([w]x) R and t on its 2-D tangent
@@ -209,7 +209,7 @@ def recover_pose_from_E(E, p0, p1, weight):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_hyps", "sample_size", "refit_iters")
+    jax.jit, static_argnames=("n_hyps", "sample_size", "refit_iters", "n_rounds")
 )
 @f32_matmul
 def estimate_pose_ransac(
@@ -220,9 +220,10 @@ def estimate_pose_ransac(
     valid,
     key,
     thresh_px: float = 0.5,
-    n_hyps: int = 1024,
+    n_hyps: int = 2048,
     sample_size: int = 8,
-    refit_iters: int = 2,
+    refit_iters: int = 1,
+    n_rounds: int = 3,
 ) -> RansacResult:
     """Parallel-hypothesis essential-matrix RANSAC.
 
@@ -307,7 +308,7 @@ def estimate_pose_ransac(
     # --- local optimization per candidate: adaptive hard-band IRLS refits,
     # band annealing from the loose band down to the strict threshold.
     # Guarded: keep the previous model if the strict inlier count shrinks.
-    anneal = jnp.array([LOOSE, 8.0, 4.0, 2.0, 1.0, 1.0], jnp.float32)[: refit_iters + 4]
+    anneal = jnp.array([LOOSE, 4.0, 1.0, 1.0], jnp.float32)[: refit_iters + 3]
 
     def lo_chain(E0):
         d_0 = sampson_distance(p0[None], p1[None], E0[None])[0]

@@ -112,3 +112,37 @@ def test_full_pipeline_e2e(tiny_models, mini_dataset, tmp_path):
     xlsx = tmp_path / "res.xlsx"
     results_to_xlsx(per_obj, str(xlsx))
     assert xlsx.exists()
+
+
+def test_batched_pairs(tiny_models, rng):
+    """vmapped multi-pair path produces the same results as per-pair calls."""
+    import jax
+    import jax.numpy as jnp
+
+    from pope_tpu.pipeline.pose_pipeline import PipelineExecutor
+
+    ex = PipelineExecutor(tiny_models, crop_size=64)
+    B, C = 2, tiny_models.config.amg.mask_capacity
+    img0 = jnp.asarray(rng.uniform(0, 1, (B, 96, 96, 3)), jnp.float32)
+    img1 = jnp.asarray(rng.uniform(0, 1, (B, 96, 96, 3)), jnp.float32)
+    K = jnp.broadcast_to(jnp.asarray([[100.0, 0, 48], [0, 100, 48], [0, 0, 1]]), (B, 3, 3))
+    boxes = jnp.asarray(rng.uniform(5, 40, (B, C, 4)), jnp.float32)
+    valid = jnp.ones((B, C), bool)
+    ref_cls = jnp.asarray(rng.normal(0, 1, (B, 64)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    run = ex.build_batched(B)
+    res = run(img0, img1, K, K, boxes, valid, ref_cls, keys)
+    assert res.R.shape == (B, 3, 3)
+    assert res.mkpts0.shape[0] == B
+    assert np.isfinite(np.asarray(res.R)).all()
+
+    # parity vs the single-pair stages for pair 0
+    import types
+
+    fake_amg = types.SimpleNamespace(boxes_xywh=boxes[0], valid=valid[0])
+    single = ex.estimate_pair(img0[0], img1[0], K[0], K[0], fake_amg, ref_cls[0], keys[0])
+    np.testing.assert_allclose(np.asarray(single.R), np.asarray(res.R[0]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(single.mkpts1), np.asarray(res.mkpts1[0]), atol=1e-3
+    )
