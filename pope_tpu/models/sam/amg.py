@@ -60,13 +60,16 @@ class AutomaticMaskGenerator:
         self.cfg = cfg
         self.sam_cfg = sam_cfg
         self._grid01 = jnp.asarray(build_point_grid(cfg.points_per_side), jnp.float32)
-        self._generate_jit = jax.jit(
+        _jit = jax.jit(
             self._generate_impl, static_argnames=("input_h", "input_w", "orig_h", "orig_w")
         )
+        # thread the variables as an argument (closure constants defeat the
+        # compile cache and bloat HLO)
+        self._generate_jit = lambda emb, **kw: _jit(self.variables, emb, **kw)
 
     # ---- device path ----
 
-    def _generate_impl(self, embeddings, input_h: int, input_w: int, orig_h: int, orig_w: int):
+    def _generate_impl(self, variables, embeddings, input_h: int, input_w: int, orig_h: int, orig_w: int):
         cfg = self.cfg
         n_points = cfg.points_per_side**2
         # grid points live in the original frame scaled by input/orig
@@ -81,7 +84,7 @@ class AutomaticMaskGenerator:
         )
 
         masks, iou = self.sam.apply(
-            self.variables,
+            variables,
             embeddings,
             pts,
             labels,
@@ -165,4 +168,62 @@ class AutomaticMaskGenerator:
             self.variables, jnp.asarray(resized), (in_h, in_w), method=self.sam.preprocess
         )
         emb = self.sam.apply(self.variables, pre, method=self.sam.encode_image)
-        return self.generate_from_embeddings(emb, (orig_h, orig_w), (in_h, in_w))
+        result = self.generate_from_embeddings(emb, (orig_h, orig_w), (in_h, in_w))
+        if self.cfg.min_mask_region_area > 0:
+            # host-edge cleanup like the reference (:204-208)
+            result = postprocess_small_regions_host(
+                result, self.cfg.min_mask_region_area, (orig_h, orig_w),
+                self.cfg.box_nms_thresh,
+            )
+        return result
+
+
+def postprocess_small_regions_host(result: AMGResult, min_area: int, orig_hw, box_nms_thresh: float = 0.35) -> AMGResult:
+    """Host-edge small-region cleanup (automatic_mask_generator.py:323-372):
+    fill holes and drop islands below `min_area` (in ORIGINAL-image pixels),
+    recompute boxes, and re-run NMS preferring untouched masks.
+
+    Operates on the low-res mask logits; `min_area` is rescaled to low-res
+    pixel units. Uses the native C++ connected-components op
+    (pope_tpu.native) with a numpy fallback.
+    """
+    from pope_tpu import native
+    from pope_tpu.ops.nms import nms as nms_jax
+
+    masks = np.asarray(result.masks_low_res) > MASK_THRESHOLD
+    valid = np.asarray(result.valid)
+    low = masks.shape[-1]
+    oh, ow = orig_hw
+    # low-res pixel area equivalent of min_area original pixels
+    scale = (low * low) / float(oh * ow)
+    min_area_low = max(int(round(min_area * scale)), 1)
+
+    changed = np.zeros(len(masks), bool)
+    out_masks = masks.copy()
+    for i in range(len(masks)):
+        if not valid[i]:
+            continue
+        m, ch1 = native.remove_small_regions(masks[i], min_area_low, "holes")
+        m, ch2 = native.remove_small_regions(m, min_area_low, "islands")
+        out_masks[i] = m
+        changed[i] = ch1 or ch2
+
+    boxes_low = np.asarray(batched_mask_to_box(jnp.asarray(out_masks)))
+    boxes = boxes_low * np.array([ow, oh, ow, oh]) / low
+    # prefer unchanged masks in NMS (reference scores untouched as 1.0, :360)
+    scores = np.where(changed, 0.0, 1.0)
+    keep = np.asarray(
+        nms_jax(jnp.asarray(boxes, jnp.float32), jnp.asarray(scores, jnp.float32),
+                box_nms_thresh, valid=jnp.asarray(valid))
+    )
+    logits = np.asarray(result.masks_low_res)
+    # re-binarized masks become +-1 logits where changed
+    logits = np.where(changed[:, None, None], np.where(out_masks, 1.0, -1.0), logits)
+    return AMGResult(
+        masks_low_res=jnp.asarray(logits),
+        boxes=jnp.asarray(boxes, jnp.float32),
+        iou_preds=result.iou_preds,
+        stability=result.stability,
+        areas=jnp.asarray(out_masks.sum((-2, -1)) / scale, jnp.float32),
+        valid=jnp.asarray(keep & valid),
+    )

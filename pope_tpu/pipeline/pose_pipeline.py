@@ -41,16 +41,22 @@ class PipelineExecutor:
         self.crop_size = crop_size
         cfg = models.config
 
-        def retrieve(image1, boxes_xywh, valid, K1, ref_cls):
+        # model weights are threaded as jit ARGUMENTS — closing over them
+        # bakes hundreds of MB of constants into the HLO, which both bloats
+        # compiles and defeats the persistent compile cache
+        def retrieve(dinov2_vars, image1, boxes_xywh, valid, K1, ref_cls):
             return retrieve_top_k(
                 models, image1, boxes_xywh, valid, K1, ref_cls,
-                top_k=cfg.top_k, crop_size=crop_size,
+                top_k=cfg.top_k, crop_size=crop_size, dinov2_variables=dinov2_vars,
             )
 
-        def match(image0_rgb01, crops):
+        def match(matcher_vars, image0_rgb01, crops):
             ref_gray = _rgb01_to_gray(image0_rgb01)
             crop_grays = jax.vmap(_rgb01_to_gray)(crops)
-            res, strong = match_and_score(models, ref_gray, crop_grays, cfg.matcher.mconf_strong_thr)
+            res, strong = match_and_score(
+                models, ref_gray, crop_grays, cfg.matcher.mconf_strong_thr,
+                matcher_variables=matcher_vars,
+            )
             best = jnp.argmax(strong)
             return (
                 res.mkpts0[best], res.mkpts1[best], res.mconf[best],
@@ -65,8 +71,10 @@ class PipelineExecutor:
         self._retrieve_fn = retrieve
         self._match_fn = match
         self._solve_fn = solve
-        self._retrieve = jax.jit(retrieve)
-        self._match = jax.jit(match)
+        jr = jax.jit(retrieve)
+        jm = jax.jit(match)
+        self._retrieve = lambda *a: jr(models.dinov2_variables, *a)
+        self._match = lambda *a: jm(models.matcher_variables, *a)
         self._solve = jax.jit(solve)
 
     def build_batched(self, n_pairs: int):
@@ -75,8 +83,11 @@ class PipelineExecutor:
         overhead and the small-matrix linalg that dominates single-pair
         latency; shard the leading axis over a dp mesh for multi-chip
         (BASELINE.json config #5)."""
-        retrieve_b = jax.jit(jax.vmap(self._retrieve_fn))
-        match_b = jax.jit(jax.vmap(self._match_fn))
+        jrb = jax.jit(jax.vmap(self._retrieve_fn, in_axes=(None, 0, 0, 0, 0, 0)))
+        jmb = jax.jit(jax.vmap(self._match_fn, in_axes=(None, 0, 0)))
+        models = self.models
+        retrieve_b = lambda *a: jrb(models.dinov2_variables, *a)
+        match_b = lambda *a: jmb(models.matcher_variables, *a)
         solve_b = jax.jit(jax.vmap(self._solve_fn))
 
         def run(image0_b, image1_b, K0_b, K1_b, amg_boxes_b, amg_valid_b, ref_cls_b, keys):
@@ -137,7 +148,7 @@ def _dino_preprocess_crop(crop_rgb01):
     return (img - mean) / std
 
 
-def retrieve_top_k(models, image1_rgb01, boxes_xywh, valid, K1, ref_cls, top_k=3, crop_size=256):
+def retrieve_top_k(models, image1_rgb01, boxes_xywh, valid, K1, ref_cls, top_k=3, crop_size=256, dinov2_variables=None):
     """Crop every AMG candidate, score against the prompt cls token, return
     the top-k candidates. All candidates run as ONE batched DINOv2 forward.
 
@@ -168,7 +179,8 @@ def retrieve_top_k(models, image1_rgb01, boxes_xywh, valid, K1, ref_cls, top_k=3
     crops, crop_Ks = jax.vmap(crop_one)(boxes)  # (C, S, S, 3), (C, 3, 3)
 
     dino_in = jax.vmap(_dino_preprocess_crop)(crops)
-    out = models.dinov2.apply(models.dinov2_variables, dino_in)
+    dv = models.dinov2_variables if dinov2_variables is None else dinov2_variables
+    out = models.dinov2.apply(dv, dino_in)
     cls = out["x_norm_clstoken"]  # (C, D)
     scores = cls_token_cosine(ref_cls[None], cls)  # (C,)
     scores = jnp.where(valid, scores, -jnp.inf)
@@ -176,15 +188,14 @@ def retrieve_top_k(models, image1_rgb01, boxes_xywh, valid, K1, ref_cls, top_k=3
     return top_idx, top_scores, crops[top_idx], crop_Ks[top_idx], boxes
 
 
-def match_and_score(models, ref_gray, crop_grays, strong_thr=0.9):
+def match_and_score(models, ref_gray, crop_grays, strong_thr=0.9, matcher_variables=None):
     """Run the matcher between the prompt and k candidate crops in one batch;
     score each by its count of matches with mconf > strong_thr
     (eval_linemod_json.py:112-119)."""
     k = crop_grays.shape[0]
     ref_batch = jnp.broadcast_to(ref_gray[None], (k,) + ref_gray.shape)
-    res = models.matcher.apply(
-        models.matcher_variables, ref_batch[..., None], crop_grays[..., None]
-    )
+    mv = models.matcher_variables if matcher_variables is None else matcher_variables
+    res = models.matcher.apply(mv, ref_batch[..., None], crop_grays[..., None])
     strong = res.strong_match_count(strong_thr)  # (k,)
     return res, strong
 

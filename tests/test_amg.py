@@ -60,3 +60,31 @@ def test_amg_nms_no_overlapping_survivors(amg, rng):
         iou = np.asarray(box_iou(jnp.asarray(boxes), jnp.asarray(boxes)))
         iou[np.diag_indices_from(iou)] = 0
         assert iou.max() <= 0.35 + 1e-5
+
+
+def test_postprocess_small_regions():
+    import jax.numpy as jnp
+
+    from pope_tpu.models.sam.amg import AMGResult, postprocess_small_regions_host
+
+    C, L = 4, 64
+    logits = np.full((C, L, L), -5.0, np.float32)
+    # mask 0: big blob with a small hole + a distant speck
+    logits[0, 10:40, 10:40] = 5.0
+    logits[0, 20, 20] = -5.0  # 1-px hole
+    logits[0, 55, 55] = 5.0  # 1-px island
+    res = AMGResult(
+        masks_low_res=jnp.asarray(logits),
+        boxes=jnp.zeros((C, 4)),
+        iou_preds=jnp.ones(C),
+        stability=jnp.ones(C),
+        areas=jnp.zeros(C),
+        valid=jnp.asarray([True, False, False, False]),
+    )
+    out = postprocess_small_regions_host(res, min_area=16, orig_hw=(64, 64))
+    m0 = np.asarray(out.masks_low_res[0]) > 0
+    assert m0[20, 20]  # hole filled
+    assert not m0[55, 55]  # island removed
+    assert bool(out.valid[0])
+    b = np.asarray(out.boxes[0])
+    assert abs(b[0] - 10) < 1.5 and abs(b[2] - 39) < 1.5
