@@ -30,6 +30,27 @@ import jax
 import jax.numpy as jnp
 
 from pope_tpu.geometry.epipolar import normalize_keypoints, sampson_distance, triangulate_midpoint
+from pope_tpu.ops.linalg import smallest_eigvec, svd3
+
+
+def _use_jacobi() -> bool:
+    # fixed-sweep Jacobi wins on TPU (jnp.linalg lowers to slow while-loop
+    # routines there) but its unrolled rotations are slower than LAPACK on
+    # CPU — pick per backend at trace time
+    return jax.default_backend() == "tpu"
+
+
+def _nullvec9(AtA):
+    if _use_jacobi():
+        return smallest_eigvec(AtA)
+    _, vecs = jnp.linalg.eigh(AtA)
+    return vecs[:, 0]
+
+
+def _svd3x3(E):
+    if _use_jacobi():
+        return svd3(E)
+    return jnp.linalg.svd(E)
 from pope_tpu.utils.precision import f32_matmul
 
 
@@ -87,13 +108,12 @@ def _eight_point(p0, p1, w=None, project: bool = True):
     A = jnp.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, ones], axis=-1)
     A = A * w[:, None]
     AtA = A.T @ A  # (9, 9)
-    _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
-    e = vecs[:, 0]
+    e = _nullvec9(AtA)
     E = T1.T @ e.reshape(3, 3) @ T0
     if not project:
         return E
     # project to essential manifold
-    U, S, Vt = jnp.linalg.svd(E)
+    U, S, Vt = _svd3x3(E)
     S_proj = jnp.array([1.0, 1.0, 0.0], E.dtype)
     return U @ jnp.diag(S_proj) @ Vt
 
@@ -187,7 +207,7 @@ def recover_pose_from_E(E, p0, p1, weight):
     RANSAC inlier mask). Returns (R, t, n_good) of the winning decomposition
     (cv2.recoverPose semantics, metrics.py:87-93).
     """
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = _svd3x3(E)
     # keep rotations proper
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
