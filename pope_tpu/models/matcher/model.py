@@ -74,7 +74,17 @@ class Matcher(nn.Module):
             feat_c0, feat_c1 = feats_c[:B], feats_c[B:]
             feat_f0, feat_f1 = feats_f[:B], feats_f[B:]
         else:
-            feat_c0, feat_f0 = backbone(image0, train)
+            # one-prompt-vs-k-crops: run the prompt backbone ONCE and
+            # broadcast its features (the retrieval stage matches one
+            # reference against top-k crops; the reference re-runs the full
+            # matcher per crop, eval_linemod_json.py:112-122)
+            b0, b1 = image0.shape[0], image1.shape[0]
+            if b0 == 1 and b1 > 1:
+                feat_c0, feat_f0 = backbone(image0, train)
+                feat_c0 = jnp.broadcast_to(feat_c0, (b1,) + feat_c0.shape[1:])
+                feat_f0 = jnp.broadcast_to(feat_f0, (b1,) + feat_f0.shape[1:])
+            else:
+                feat_c0, feat_f0 = backbone(image0, train)
             feat_c1, feat_f1 = backbone(image1, train)
 
         B, h0c, w0c, C = feat_c0.shape

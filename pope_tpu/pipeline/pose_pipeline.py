@@ -192,10 +192,9 @@ def match_and_score(models, ref_gray, crop_grays, strong_thr=0.9, matcher_variab
     """Run the matcher between the prompt and k candidate crops in one batch;
     score each by its count of matches with mconf > strong_thr
     (eval_linemod_json.py:112-119)."""
-    k = crop_grays.shape[0]
-    ref_batch = jnp.broadcast_to(ref_gray[None], (k,) + ref_gray.shape)
     mv = models.matcher_variables if matcher_variables is None else matcher_variables
-    res = models.matcher.apply(mv, ref_batch[..., None], crop_grays[..., None])
+    # single-prompt backbone runs once inside the matcher (B0=1 broadcast)
+    res = models.matcher.apply(mv, ref_gray[None, ..., None], crop_grays[..., None])
     strong = res.strong_match_count(strong_thr)  # (k,)
     return res, strong
 
