@@ -30,6 +30,7 @@ from pope_tpu.geometry.pose import (
     skew,
 )
 from pope_tpu.geometry.epipolar import (
+    compute_symmetric_epipolar_errors,
     essential_from_Rt,
     sampson_distance,
     symmetric_epipolar_distance,

@@ -94,3 +94,13 @@ def triangulate_midpoint(pts0, pts1, R, t):
     z0 = (b1 * a22 - a12 * b2) / det
     z1 = (a11 * b2 - a12 * b1) / det
     return z0, z1
+
+
+def compute_symmetric_epipolar_errors(T_0to1, mkpts0, mkpts1, K0, K1):
+    """Per-match squared symmetric epipolar error against a GT relative pose
+    (metrics.py:47-66: E = [t]x R from T_0to1, then the distance above).
+
+    T_0to1: (..., 4, 4); mkpts in pixels; K's (..., 3, 3). Returns (..., N).
+    """
+    E = essential_from_Rt(T_0to1[..., :3, :3], T_0to1[..., :3, 3])
+    return symmetric_epipolar_distance(mkpts0, mkpts1, E, K0, K1)

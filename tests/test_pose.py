@@ -167,3 +167,19 @@ def test_triangulate_midpoint_depths(rng):
     # all points were generated in front of both cameras
     assert np.all(np.asarray(z0) > 0)
     assert np.all(np.asarray(z1) > 0)
+
+
+def test_compute_symmetric_epipolar_errors(rng):
+    from pope_tpu.geometry import compute_symmetric_epipolar_errors
+
+    x0, x1, R, t = _synthetic_pair(rng, n=40)
+    K = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]], np.float32)
+    pix0 = x0 * 500 + np.array([320, 240], np.float32)
+    pix1 = x1 * 500 + np.array([320, 240], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    errs = compute_symmetric_epipolar_errors(
+        jnp.asarray(T), jnp.asarray(pix0), jnp.asarray(pix1), jnp.asarray(K), jnp.asarray(K)
+    )
+    assert float(jnp.max(errs)) < 1e-6  # perfect correspondences
