@@ -58,7 +58,7 @@ def main():
         lambda r, im: sam.init(r, im, (768, 1024), jnp.zeros((1, 2, 2)), jnp.zeros((1, 2), jnp.int32))
     )(jax.random.PRNGKey(0), jnp.asarray(rng.uniform(0, 255, (768, 1024, 3)), jnp.float32))
 
-    dcfg = DinoV2Config()
+    dcfg = DinoV2Config(dtype="bfloat16")  # retrieval tower in bf16 (MXU-native)
     dinov2 = DinoVisionTransformer(dcfg)
     d_vars = jax.jit(dinov2.init)(jax.random.PRNGKey(1), jnp.zeros((1, 196, 196, 3)))
 
