@@ -227,3 +227,39 @@ def postprocess_small_regions_host(result: AMGResult, min_area: int, orig_hw, bo
         areas=jnp.asarray(out_masks.sum((-2, -1)) / scale, jnp.float32),
         valid=jnp.asarray(keep & valid),
     )
+
+
+def amg_records(result: AMGResult, orig_hw, input_hw, img_size: int = 1024):
+    """Convert an AMGResult to the reference's public record format
+    (automatic_mask_generator.py:182-193): one dict per mask with
+    'segmentation' (bool HxW at original size), 'area', 'bbox' (XYWH),
+    'predicted_iou', 'stability_score', plus 'rle' in the reference's
+    uncompressed layout. Host-edge utility (upsamples low-res masks)."""
+    from pope_tpu import native
+    from pope_tpu.models.sam.sam import postprocess_masks
+
+    ok = np.asarray(result.valid)
+    masks_full = postprocess_masks(
+        jnp.asarray(result.masks_low_res)[None], input_hw, orig_hw, img_size
+    )[0]
+    masks_full = np.asarray(masks_full > MASK_THRESHOLD)
+    boxes = np.asarray(result.boxes)
+    ious = np.asarray(result.iou_preds)
+    stab = np.asarray(result.stability)
+    records = []
+    for i in range(len(ok)):
+        if not ok[i]:
+            continue
+        seg = masks_full[i]
+        x0, y0, x1, y1 = boxes[i]
+        records.append(
+            {
+                "segmentation": seg,
+                "rle": native.rle_encode(seg),
+                "area": int(seg.sum()),
+                "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+                "predicted_iou": float(ious[i]),
+                "stability_score": float(stab[i]),
+            }
+        )
+    return records

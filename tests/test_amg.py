@@ -88,3 +88,24 @@ def test_postprocess_small_regions():
     assert bool(out.valid[0])
     b = np.asarray(out.boxes[0])
     assert abs(b[0] - 10) < 1.5 and abs(b[2] - 39) < 1.5
+
+
+def test_amg_records_format(amg, rng):
+    from pope_tpu.models.sam.amg import amg_records
+    from pope_tpu.models.sam.sam import resize_longest_side
+
+    img = rng.uniform(0, 255, (200, 256, 3)).astype(np.uint8)
+    res = amg.generate(img)
+    in_hw = resize_longest_side(200, 256, amg.sam_cfg.encoder.img_size)
+    recs = amg_records(res, (200, 256), in_hw, amg.sam_cfg.encoder.img_size)
+    assert len(recs) == int(np.asarray(res.valid).sum())
+    for r in recs:
+        assert r["segmentation"].shape == (200, 256)
+        assert r["segmentation"].dtype == bool
+        assert len(r["bbox"]) == 4 and r["bbox"][2] >= 0
+        assert r["area"] == int(r["segmentation"].sum())
+        assert r["rle"]["size"] == [200, 256]
+        # rle roundtrip matches the segmentation
+        from pope_tpu import native
+
+        np.testing.assert_array_equal(native.rle_decode(r["rle"]), r["segmentation"])
