@@ -136,3 +136,69 @@ class RandomConcatSampler:
                 reps.append(self.rng.permutation(indices) if self.shuffle else indices)
             indices = np.concatenate(reps)
         return iter(indices.tolist())
+
+
+class RenderedViewsPairDataset:
+    """Object-centric rendered-views pair sampler (the Objaverse-style
+    trainer data source).
+
+    Reference behavior: src/datasets/objaverse.py:26-119 — a class list file
+    names per-object directories of `n_views` rendered frames
+    ('000.png'..'010.png') with matching '000.npy' pose files; __getitem__
+    rejection-samples a view pair until its relative-rotation magnitude
+    falls under a rotation bin drawn from {30,30,30,60,60,90} degrees
+    (:93-95), and returns grayscale frames + the relative pose + the fixed
+    render intrinsics (:47).
+    """
+
+    INTRINSIC = np.array([[1120.0, 0, 256], [0, 840, 256], [0, 0, 1]], np.float32)
+    ANGULAR_BINS = (30, 30, 30, 60, 60, 90)
+
+    def __init__(self, root_dir: str, class_file: str, n_views: int = 11, seed: int = 0, max_tries: int = 64):
+        import os.path as osp
+
+        self.root = root_dir
+        self.classes = [c for c in np.loadtxt(class_file, dtype=str).reshape(-1)]
+        self.n_views = n_views
+        self.rng = random.Random(seed)
+        self.max_tries = max_tries
+
+    def __len__(self):
+        return len(self.classes)
+
+    def __getitem__(self, idx):
+        import os.path as osp
+
+        from pope_tpu.data.readers import read_scannet_grayv2
+        from pope_tpu.geometry.pose import rotation_angle_deg
+        import jax.numpy as jnp
+
+        d = osp.join(self.root, str(self.classes[idx]))
+        for _ in range(self.max_tries):
+            i0, i1 = self.rng.sample(range(self.n_views), 2)
+            p0 = osp.join(d, f"{i0:03d}.png")
+            p1 = osp.join(d, f"{i1:03d}.png")
+            if not (osp.exists(p0) and osp.exists(p1)):
+                continue
+            pose0 = np.load(osp.join(d, f"{i0:03d}.npy"))
+            pose1 = np.load(osp.join(d, f"{i1:03d}.npy"))
+            if pose0.shape[0] == 3:
+                pose0 = np.vstack([pose0, [0, 0, 0, 1]])
+            if pose1.shape[0] == 3:
+                pose1 = np.vstack([pose1, [0, 0, 0, 1]])
+            T_0to1 = pose1 @ np.linalg.inv(pose0)
+            r_err = float(
+                rotation_angle_deg(jnp.asarray(np.eye(3), jnp.float32), jnp.asarray(T_0to1[:3, :3], jnp.float32))
+            )
+            bin_deg = self.rng.choice(self.ANGULAR_BINS)
+            if r_err <= bin_deg:
+                return {
+                    "image0": read_scannet_grayv2(p0),
+                    "image1": read_scannet_grayv2(p1),
+                    "T_0to1": T_0to1.astype(np.float32),
+                    "T_1to0": np.linalg.inv(T_0to1).astype(np.float32),
+                    "K0": self.INTRINSIC,
+                    "K1": self.INTRINSIC,
+                    "pair_name": f"{self.classes[idx]}/{i0:03d}_{i1:03d}",
+                }
+        raise RuntimeError(f"no pair within rotation bins for {d}")

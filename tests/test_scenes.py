@@ -40,3 +40,34 @@ def test_concat_and_sampler():
     s2 = RandomConcatSampler(concat, 12, subset_replacement=False, seed=1)
     idx2 = list(s2)
     assert len(idx2) == 24
+
+
+def test_rendered_views_pair_dataset(tmp_path):
+    import cv2
+
+    from pope_tpu.data.scenes import RenderedViewsPairDataset
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(0)
+    obj = tmp_path / "objA"
+    obj.mkdir()
+    for i in range(11):
+        cv2.imwrite(str(obj / f"{i:03d}.png"), rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8))
+        angle = np.deg2rad(i * 8.0)  # consecutive views 8 degrees apart
+        Rm = Rotation.from_rotvec([0, angle, 0]).as_matrix()
+        pose = np.hstack([Rm, [[0], [0], [1.0]]])
+        np.save(str(obj / f"{i:03d}.npy"), pose)
+    cls_file = tmp_path / "classes.txt"
+    cls_file.write_text("objA\n")
+
+    ds = RenderedViewsPairDataset(str(tmp_path), str(cls_file), seed=3)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["image0"].shape == (1, 32, 32)
+    assert item["T_0to1"].shape == (4, 4)
+    # sampled pair obeys the rotation-bin cap (max 90 degrees)
+    from pope_tpu.geometry.pose import rotation_angle_deg
+    import jax.numpy as jnp
+
+    r = float(rotation_angle_deg(jnp.asarray(np.eye(3), jnp.float32), jnp.asarray(item["T_0to1"][:3, :3])))
+    assert r <= 90.0
