@@ -188,13 +188,16 @@ def crop_resize_bilinear(image, box, out_hw):
     out_h, out_w = out_hw
     box = jnp.asarray(box, jnp.float32)
     bw = jnp.maximum(box[2] - box[0], 1e-3)
-    bh = jnp.maximum(box[3] - box[1], 1e-3)
     cx = (box[0] + box[2]) / 2.0
     cy = (box[1] + box[3]) / 2.0
-    sx = out_w / bw
-    sy = out_h / bh
-    xs = (jnp.arange(out_w, dtype=jnp.float32) - out_w / 2.0) / sx + cx
-    ys = (jnp.arange(out_h, dtype=jnp.float32) - out_h / 2.0) / sy + cy
+    # The reference transform (data_utils.py:22-52) is a uniform-scale
+    # similarity built from scale[0] ONLY: both axes scale by out_w/bw. For
+    # non-square boxes the vertical crop extent is out_h*bw/out_w, NOT bh —
+    # this must match get_affine_transform/get_K_crop_resize or keypoints get
+    # normalized through wrong intrinsics in y.
+    s = out_w / bw
+    xs = (jnp.arange(out_w, dtype=jnp.float32) - out_w / 2.0) / s + cx
+    ys = (jnp.arange(out_h, dtype=jnp.float32) - out_h / 2.0) / s + cy
     img = image.astype(jnp.float32)
     img = _axis_lerp_gather(img, ys, 0)
     img = _axis_lerp_gather(img, xs, 1)

@@ -76,6 +76,22 @@ def test_image_crop_resize_matches_reference(rng):
     assert T.shape == (3, 3)
 
 
+def test_image_crop_resize_nonsquare_box_matches_reference(rng):
+    """Non-square boxes must still use the UNIFORM scale out_w/bw on both axes
+    (the reference transform reads scale[0] only, data_utils.py:22-52);
+    anisotropic sampling would disagree with get_K_crop_resize."""
+    img = rng.uniform(0, 255, (200, 260)).astype(np.float32)
+    for box in ([30.0, 40.0, 190.0, 120.0], [50.0, 20.0, 110.0, 180.0]):
+        box = np.asarray(box)
+        crop, T = get_image_crop_resize(jnp.asarray(img), box, (64, 64))
+        center = np.array([(box[0] + box[2]) / 2, (box[1] + box[3]) / 2])
+        scale = np.array([box[2] - box[0], box[3] - box[1]])
+        trans = _cv2_affine(center, scale, 0, (64, 64))
+        ref = cv2.warpAffine(img, trans, (64, 64), flags=cv2.INTER_LINEAR)
+        np.testing.assert_allclose(np.asarray(crop)[1:-1, 1:-1], ref[1:-1, 1:-1], atol=0.5)
+        np.testing.assert_allclose(np.asarray(T)[:2], trans, rtol=1e-3, atol=1e-2)
+
+
 def test_K_crop_resize_reference_formula():
     K = np.array([[600.0, 0, 320], [0, 600, 240], [0, 0, 1]])
     box = np.array([100.0, 80.0, 300.0, 260.0])
