@@ -76,7 +76,9 @@ struct DSU {
 };
 }  // namespace
 
-// 4-connected component labelling of `value` pixels (0 or 1) in the mask.
+// 8-connected component labelling of `value` pixels (0 or 1) in the mask
+// (cv2.connectedComponentsWithStats(..., 8) semantics, the reference's
+// default in segment_anything/utils/amg.py:352).
 // Writes int32 labels (0..n_components-1 over matching pixels, -1 elsewhere)
 // and per-component areas into `areas` (capacity h*w). Returns component
 // count.
@@ -90,6 +92,10 @@ int64_t connected_components(const uint8_t* mask, int64_t h, int64_t w,
             if ((mask[i] ? 1 : 0) != value) continue;
             if (x + 1 < w && (mask[i + 1] ? 1 : 0) == value) dsu.unite((int32_t)i, (int32_t)(i + 1));
             if (y + 1 < h && (mask[i + w] ? 1 : 0) == value) dsu.unite((int32_t)i, (int32_t)(i + w));
+            if (y + 1 < h && x + 1 < w && (mask[i + w + 1] ? 1 : 0) == value)
+                dsu.unite((int32_t)i, (int32_t)(i + w + 1));
+            if (y + 1 < h && x > 0 && (mask[i + w - 1] ? 1 : 0) == value)
+                dsu.unite((int32_t)i, (int32_t)(i + w - 1));
         }
     }
     std::vector<int32_t> root_label(n, -1);
@@ -113,8 +119,11 @@ int64_t connected_components(const uint8_t* mask, int64_t h, int64_t w,
 
 // Remove small regions (amg.py:342-372 semantics):
 //   mode=0 ("holes"): fill background components smaller than area_thresh.
-//   mode=1 ("islands"): drop foreground components smaller than area_thresh.
-// Modifies mask in place; returns 1 if anything changed.
+//   mode=1 ("islands"): drop foreground components smaller than area_thresh;
+//     when EVERY island is below threshold, keep the largest one instead of
+//     emptying the mask (amg.py:360-362).
+// `changed` is 1 when any small region existed (the reference reports True
+// even when keep-largest leaves the pixels unchanged).
 int32_t remove_small_regions(uint8_t* mask, int64_t h, int64_t w,
                              int64_t area_thresh, int32_t mode) {
     const int64_t n = h * w;
@@ -122,16 +131,22 @@ int32_t remove_small_regions(uint8_t* mask, int64_t h, int64_t w,
     std::vector<int64_t> areas(n);
     uint8_t target = mode == 0 ? 0 : 1;
     int64_t n_comp = connected_components(mask, h, w, target, labels.data(), areas.data());
-    int32_t changed = 0;
+    int32_t any_small = 0;
+    int64_t n_large = 0;
+    int32_t largest = -1;
+    for (int64_t c = 0; c < n_comp; ++c) {
+        if (areas[c] < area_thresh) any_small = 1;
+        else ++n_large;
+        if (largest < 0 || areas[c] > areas[largest]) largest = (int32_t)c;
+    }
+    if (!any_small) return 0;
     for (int64_t i = 0; i < n; ++i) {
         int32_t l = labels[i];
-        if (l >= 0 && areas[l] < area_thresh) {
-            mask[i] = target ? 0 : 1;  // flip small regions
-            changed = 1;
-        }
+        if (l < 0 || areas[l] >= area_thresh) continue;
+        if (mode == 1 && n_large == 0 && l == largest) continue;  // keep largest
+        mask[i] = target ? 0 : 1;  // flip small regions
     }
-    (void)n_comp;
-    return changed;
+    return any_small;
 }
 
 // Greedy NMS over XYXY boxes, descending score order; writes keep flags.

@@ -101,13 +101,20 @@ def remove_small_regions(mask: np.ndarray, area_thresh: int, mode: str) -> Tuple
 
 
 def _remove_small_regions_np(m: np.ndarray, area_thresh: int, mode_i: int):
-    """numpy fallback via scipy-free BFS labelling (slow, correctness only)."""
+    """numpy fallback via scipy-free BFS labelling (slow, correctness only).
+    Matches the reference (segment_anything utils/amg.py:342-372): 8-connected
+    components; in islands mode keep the largest island when all are small;
+    changed=True whenever any small region existed."""
     from collections import deque
 
     h, w = m.shape
     target = 0 if mode_i == 0 else 1
     seen = np.zeros((h, w), bool)
-    changed = False
+    comps = []
+    neigh = (
+        (1, 0), (-1, 0), (0, 1), (0, -1),
+        (1, 1), (1, -1), (-1, 1), (-1, -1),  # 8-connectivity (cv2 default)
+    )
     for sy in range(h):
         for sx in range(w):
             if seen[sy, sx] or (m[sy, sx] != target):
@@ -118,15 +125,25 @@ def _remove_small_regions_np(m: np.ndarray, area_thresh: int, mode_i: int):
             while dq:
                 y, x = dq.popleft()
                 comp.append((y, x))
-                for ny, nx in ((y + 1, x), (y - 1, x), (y, x + 1), (y, x - 1)):
+                for dy, dx in neigh:
+                    ny, nx = y + dy, x + dx
                     if 0 <= ny < h and 0 <= nx < w and not seen[ny, nx] and m[ny, nx] == target:
                         seen[ny, nx] = True
                         dq.append((ny, nx))
-            if len(comp) < area_thresh:
-                for y, x in comp:
-                    m[y, x] = 1 - target
-                changed = True
-    return m.astype(bool), changed
+            comps.append(comp)
+
+    small = [c for c in comps if len(c) < area_thresh]
+    if not small:
+        return m.astype(bool), False
+    keep = None
+    if mode_i == 1 and len(small) == len(comps) and comps:
+        keep = max(comps, key=len)  # all islands small: keep the largest
+    for comp in small:
+        if comp is keep:
+            continue
+        for y, x in comp:
+            m[y, x] = 1 - target
+    return m.astype(bool), True
 
 
 def nms_cpu(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np.ndarray:
