@@ -150,6 +150,10 @@ class AMGConfig:
     box_nms_thresh: float = 0.35
     min_mask_region_area: int = 250
     mask_capacity: int = 64  # static cap on surviving masks (TPU-native)
+    # prompts decoded per lax.map step inside one program: bounds the decoder's
+    # upscaling intermediates (~chunk x 32ch x 256^2 f32) so the pair axis can
+    # batch without OOMing HBM; 0 disables chunking
+    points_per_chunk: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

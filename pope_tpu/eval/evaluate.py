@@ -137,22 +137,63 @@ def evaluate_dataset(
     dataset: str,
     data_root: str,
     pairs_dir: str,
-    run_pair: Callable,
+    run_pair: Optional[Callable] = None,
     max_pairs: Optional[int] = None,
     progress: bool = True,
+    batch_size: Optional[int] = None,
+    run_pairs: Optional[Callable] = None,
 ) -> Dict[str, dict]:
     """Run the full pipeline over a dataset's pair manifest.
 
-    `run_pair(models, paths, spec) -> record dict` performs the actual
-    per-pair compute (pipeline.runner.run_pair in production; injectable for
-    tests). Data layout must follow the reference conventions (manifest.py).
+    Serial mode (`run_pair(models, paths, spec) -> record`): the reference's
+    per-pair loop shape (eval_linemod_json.py:51). Batched mode
+    (`batch_size=B`): chunks the manifest into B-pair batches and calls
+    `run_pairs(models, paths_list, spec) -> [records]`
+    (pipeline.runner.run_pairs by default) — the TPU production path, with
+    host IO prefetched one batch ahead of device compute.
     """
-    import cv2
-
     spec = DATASETS[dataset]
     manifest = load_manifest(pairs_dir, spec)
     records: List[dict] = []
     n = 0
+
+    if batch_size:
+        if run_pairs is None:
+            from pope_tpu.pipeline.runner import run_pairs as _rp
+
+            run_pairs = _rp
+        from pope_tpu.data.loader import ThreadedLoader
+
+        from pope_tpu.pipeline.runner import _load_pair_host
+
+        def gen_batches():
+            # decode images in the producer thread: IO overlaps device compute
+            chunk, hosts = [], []
+            for paths in iter_pairs(data_root, spec, manifest):
+                chunk.append(paths)
+                hosts.append(_load_pair_host(paths))
+                if len(chunk) == batch_size:
+                    yield chunk, hosts
+                    chunk, hosts = [], []
+            if chunk:
+                yield chunk, hosts
+
+        for chunk, hosts in ThreadedLoader(gen_batches, prefetch=2):
+            if max_pairs is not None and n >= max_pairs:
+                break
+            if max_pairs is not None:
+                chunk = chunk[: max_pairs - n]
+                hosts = hosts[: max_pairs - n]
+            records.extend(run_pairs(models, chunk, spec, hosts=hosts))
+            n += len(chunk)
+            if progress and (n % 50 < batch_size):
+                print(f"[{dataset}] {n} pairs")
+        return evaluate_pairs(records)
+
+    if run_pair is None:
+        from pope_tpu.pipeline.runner import run_pair as _r1
+
+        run_pair = _r1
     for paths in iter_pairs(data_root, spec, manifest):
         if max_pairs is not None and n >= max_pairs:
             break

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from pope_tpu.eval.manifest import DATASETS, iter_pairs, load_manifest
 from pope_tpu.models.dinov2.preprocess import preprocess_image
-from pope_tpu.pipeline.runner import get_executor
+from pope_tpu.pipeline.runner import get_executor, pair_key
 
 SUBDIRS = ("pre_bbox", "mkpts0", "mkpts1", "pre_K", "img0", "img1")
 
@@ -30,16 +30,17 @@ def extract_pair(models, paths, spec, out_dir: str, key=None) -> bool:
     the pair produced >=5 matches and was written."""
     import cv2
 
-    key = key if key is not None else jax.random.PRNGKey(abs(hash(paths.pair_name)) % (2**31))
+    key = key if key is not None else pair_key(paths.pair_name)
     img0 = cv2.cvtColor(cv2.imread(paths.image0), cv2.COLOR_BGR2RGB)
     img1 = cv2.cvtColor(cv2.imread(paths.image1), cv2.COLOR_BGR2RGB)
     K1 = np.loadtxt(paths.k1, delimiter=" ").astype(np.float32)
     K0 = np.loadtxt(paths.k0, delimiter=" ").astype(np.float32)
 
+    executor = get_executor(models, spec.crop_size)
     ref_in = preprocess_image(img0, center_crop=True)
-    ref_cls = models.dinov2.apply(models.dinov2_variables, ref_in)["x_norm_clstoken"][0]
+    ref_cls = executor.prompt_cls(ref_in)[0]
     amg_res = models.amg.generate(img1)
-    result = get_executor(models, spec.crop_size).estimate_pair(
+    result = executor.estimate_pair(
         jnp.asarray(img0, jnp.float32) / 255.0,
         jnp.asarray(img1, jnp.float32) / 255.0,
         jnp.asarray(K0),

@@ -67,6 +67,36 @@ class AutomaticMaskGenerator:
         # compile cache and bloat HLO)
         self._generate_jit = lambda emb, **kw: _jit(self.variables, emb, **kw)
 
+        def _gen_batched(variables, embs, input_h, input_w, orig_h, orig_w):
+            # embs: (B, 64, 64, 256); vmap the single-image impl (which takes
+            # a leading length-1 embedding batch axis)
+            return jax.vmap(
+                lambda e: self._generate_impl(
+                    variables, e[None], input_h=input_h, input_w=input_w,
+                    orig_h=orig_h, orig_w=orig_w,
+                )
+            )(embs)
+
+        _jit_b = jax.jit(
+            _gen_batched, static_argnames=("input_h", "input_w", "orig_h", "orig_w")
+        )
+        self._generate_batched_jit = lambda embs, **kw: _jit_b(self.variables, embs, **kw)
+
+        def _encode(variables, images_resized, in_h: int, in_w: int):
+            # (B, in_h, in_w, 3) RGB [0,255] -> (B, 64, 64, 256); preprocess
+            # (normalize + pad-to-square) fuses into the encoder program so the
+            # production path is ONE dispatch per batch (was two eager applies)
+            pre = jax.vmap(
+                lambda im: self.sam.apply(
+                    variables, im, (in_h, in_w), method=self.sam.preprocess
+                )[0]
+            )(images_resized)
+            return self.sam.apply(variables, pre, method=self.sam.encode_image)
+
+        _enc_jit = jax.jit(_encode, static_argnames=("in_h", "in_w"))
+        self._encode_jit = lambda imgs, in_h, in_w: _enc_jit(self.variables, imgs, in_h=in_h, in_w=in_w)
+        self._binarize_jit = jax.jit(lambda m: (m > MASK_THRESHOLD).astype(jnp.uint8))
+
     # ---- device path ----
 
     def _generate_impl(self, variables, embeddings, input_h: int, input_w: int, orig_h: int, orig_w: int):
@@ -83,14 +113,35 @@ class AutomaticMaskGenerator:
             axis=1,
         )
 
-        masks, iou = self.sam.apply(
-            variables,
-            embeddings,
-            pts,
-            labels,
-            multimask_output=True,
-            method=self.sam.decode,
-        )  # (P, 3, 256, 256), (P, 3)
+        chunk = self.cfg.points_per_chunk
+        if chunk and 0 < chunk < n_points:
+            # decode the prompt axis in lax.map chunks: peak decoder
+            # intermediates (upscaled mask embeddings, chunk x 32 x 256^2)
+            # stay bounded so the pair axis can batch on 16 GB HBM
+            n_chunks = -(-n_points // chunk)
+            pad = n_chunks * chunk - n_points
+            pts_c = jnp.pad(pts, ((0, pad), (0, 0), (0, 0))).reshape(n_chunks, chunk, 2, 2)
+            lab_c = jnp.pad(labels, ((0, pad), (0, 0)), constant_values=-1).reshape(
+                n_chunks, chunk, 2
+            )
+            masks, iou = jax.lax.map(
+                lambda pl: self.sam.apply(
+                    variables, embeddings, pl[0], pl[1],
+                    multimask_output=True, method=self.sam.decode,
+                ),
+                (pts_c, lab_c),
+            )  # (n_chunks, chunk, 3, 256, 256), (n_chunks, chunk, 3)
+            masks = masks.reshape(n_chunks * chunk, *masks.shape[2:])[:n_points]
+            iou = iou.reshape(n_chunks * chunk, -1)[:n_points]
+        else:
+            masks, iou = self.sam.apply(
+                variables,
+                embeddings,
+                pts,
+                labels,
+                multimask_output=True,
+                method=self.sam.decode,
+            )  # (P, 3, 256, 256), (P, 3)
 
         C = n_points * 3
         masks = masks.reshape(C, *masks.shape[2:])
@@ -156,47 +207,121 @@ class AutomaticMaskGenerator:
 
     def generate(self, image_rgb: np.ndarray) -> AMGResult:
         """Full path from an (H, W, 3) RGB uint8 image (host resize +
-        on-chip encode/decode)."""
+        ONE jitted encode dispatch + one jitted AMG dispatch). Keeps real
+        mask logits (demo/record consumers upsample them)."""
+        return self.generate_batch([image_rgb], keep_logits=True)[0]
+
+    def generate_batch(self, images_rgb, keep_logits: bool = False) -> list:
+        """Batched full path over same-shape images: one encoder dispatch,
+        one AMG dispatch, host small-region postproc per image. Batching the
+        pair axis amortizes the per-dispatch tunnel RTT and fills the MXU.
+
+        keep_logits=False (the eval path, which only consumes boxes/valid)
+        transfers 4x less by shipping binarized masks; masks_low_res then
+        holds +-1 pseudo-logits. keep_logits=True ships the f32 logits so
+        amg_records/demos upsample true mask boundaries.
+        """
         import cv2
 
-        orig_h, orig_w = image_rgb.shape[:2]
+        orig_h, orig_w = images_rgb[0].shape[:2]
         S = self.sam_cfg.encoder.img_size
         in_h, in_w = resize_longest_side(orig_h, orig_w, S)
-        resized = cv2.resize(image_rgb, (in_w, in_h), interpolation=cv2.INTER_LINEAR)
+        resized = np.stack(
+            [
+                cv2.resize(im, (in_w, in_h), interpolation=cv2.INTER_LINEAR)
+                for im in images_rgb
+            ]
+        ).astype(np.float32)
 
-        pre = self.sam.apply(
-            self.variables, jnp.asarray(resized), (in_h, in_w), method=self.sam.preprocess
+        embs = self._encode_jit(jnp.asarray(resized), in_h, in_w)  # (B, 64, 64, 256)
+        res_b = self._generate_batched_jit(
+            embs, input_h=in_h, input_w=in_w, orig_h=orig_h, orig_w=orig_w
         )
-        emb = self.sam.apply(self.variables, pre, method=self.sam.encode_image)
-        result = self.generate_from_embeddings(emb, (orig_h, orig_w), (in_h, in_w))
-        if self.cfg.min_mask_region_area > 0:
-            # host-edge cleanup like the reference (:204-208)
-            result = postprocess_small_regions_host(
-                result, self.cfg.min_mask_region_area, (orig_h, orig_w),
-                self.cfg.box_nms_thresh,
+        # one bulk device->host transfer; components/boxes/NMS run on host
+        binm_dev = self._binarize_jit(res_b.masks_low_res)
+        masks_host = (
+            np.asarray(res_b.masks_low_res)
+            if keep_logits
+            else None
+        )
+        boxes_b, iou_b, stab_b, areas_b, valid_b, binm_b = jax.device_get(
+            (res_b.boxes, res_b.iou_preds, res_b.stability, res_b.areas, res_b.valid, binm_dev)
+        )
+        out = []
+        for i in range(len(images_rgb)):
+            logits_i = (
+                masks_host[i]
+                if masks_host is not None
+                else np.where(binm_b[i].astype(bool), 1.0, -1.0).astype(np.float32)
             )
-        return result
+            r = AMGResult(
+                masks_low_res=logits_i, boxes=boxes_b[i], iou_preds=iou_b[i],
+                stability=stab_b[i], areas=areas_b[i], valid=valid_b[i],
+            )
+            if self.cfg.min_mask_region_area > 0:
+                r = postprocess_small_regions_host(
+                    r, self.cfg.min_mask_region_area, (orig_h, orig_w),
+                    self.cfg.box_nms_thresh, binmasks=binm_b[i],
+                )
+            out.append(r)
+        return out
 
 
-def postprocess_small_regions_host(result: AMGResult, min_area: int, orig_hw, box_nms_thresh: float = 0.35) -> AMGResult:
+def _mask_to_box_np(masks: np.ndarray) -> np.ndarray:
+    """numpy twin of ops.masks.batched_mask_to_box ((C, H, W) bool -> (C, 4))."""
+    C, h, w = masks.shape
+    in_h = masks.any(-1)  # (C, H)
+    in_w = masks.any(-2)  # (C, W)
+    ys, xs = np.arange(h), np.arange(w)
+    bottom = (in_h * ys).max(-1)
+    top = (in_h * ys + h * ~in_h).min(-1)
+    right = (in_w * xs).max(-1)
+    left = (in_w * xs + w * ~in_w).min(-1)
+    empty = (right < left) | (bottom < top)
+    box = np.stack([left, top, right, bottom], -1).astype(np.float32)
+    return box * ~empty[:, None]
+
+
+def _nms_host(boxes: np.ndarray, scores: np.ndarray, thresh: float, valid: np.ndarray) -> np.ndarray:
+    """Valid-aware greedy NMS on host via the native op: invalid candidates
+    never suppress anyone (same semantics as ops.nms.nms(valid=...))."""
+    from pope_tpu import native
+
+    keep = np.zeros(len(boxes), bool)
+    idx = np.nonzero(valid)[0]
+    if len(idx):
+        keep[idx] = native.nms_cpu(boxes[idx], scores[idx], thresh)
+    return keep
+
+
+def postprocess_small_regions_host(
+    result: AMGResult, min_area: int, orig_hw, box_nms_thresh: float = 0.35,
+    binmasks: np.ndarray | None = None,
+) -> AMGResult:
     """Host-edge small-region cleanup (automatic_mask_generator.py:323-372):
     fill holes and drop islands below `min_area` (in ORIGINAL-image pixels),
     recompute boxes, and re-run NMS preferring untouched masks.
 
-    Operates on the low-res mask logits; `min_area` is rescaled to low-res
-    pixel units. Uses the native C++ connected-components op
-    (pope_tpu.native) with a numpy fallback.
-    """
-    from pope_tpu import native
-    from pope_tpu.ops.nms import nms as nms_jax
+    Operates on the low-res masks; `min_area` is rescaled to low-res pixel
+    units. Pure host after one device->host transfer: connected components
+    via the native C++ op, numpy box recompute, native NMS — no extra device
+    dispatches on the production path.
 
-    masks = np.asarray(result.masks_low_res) > MASK_THRESHOLD
+    binmasks: optional precomputed (C, low, low) uint8/bool binarization of
+    result.masks_low_res (saves transferring f32 logits).
+    """
+    if binmasks is None:
+        masks = np.asarray(result.masks_low_res) > MASK_THRESHOLD
+    else:
+        masks = np.asarray(binmasks).astype(bool)
     valid = np.asarray(result.valid)
     low = masks.shape[-1]
     oh, ow = orig_hw
     # low-res pixel area equivalent of min_area original pixels
     scale = (low * low) / float(oh * ow)
     min_area_low = max(int(round(min_area * scale)), 1)
+
+    from pope_tpu import native
 
     changed = np.zeros(len(masks), bool)
     out_masks = masks.copy()
@@ -208,24 +333,21 @@ def postprocess_small_regions_host(result: AMGResult, min_area: int, orig_hw, bo
         out_masks[i] = m
         changed[i] = ch1 or ch2
 
-    boxes_low = np.asarray(batched_mask_to_box(jnp.asarray(out_masks)))
-    boxes = boxes_low * np.array([ow, oh, ow, oh]) / low
+    boxes_low = _mask_to_box_np(out_masks)
+    boxes = (boxes_low * np.array([ow, oh, ow, oh]) / low).astype(np.float32)
     # prefer unchanged masks in NMS (reference scores untouched as 1.0, :360)
-    scores = np.where(changed, 0.0, 1.0)
-    keep = np.asarray(
-        nms_jax(jnp.asarray(boxes, jnp.float32), jnp.asarray(scores, jnp.float32),
-                box_nms_thresh, valid=jnp.asarray(valid))
-    )
+    scores = np.where(changed, 0.0, 1.0).astype(np.float32)
+    keep = _nms_host(boxes, scores, box_nms_thresh, valid)
     logits = np.asarray(result.masks_low_res)
     # re-binarized masks become +-1 logits where changed
     logits = np.where(changed[:, None, None], np.where(out_masks, 1.0, -1.0), logits)
     return AMGResult(
-        masks_low_res=jnp.asarray(logits),
-        boxes=jnp.asarray(boxes, jnp.float32),
-        iou_preds=result.iou_preds,
-        stability=result.stability,
-        areas=jnp.asarray(out_masks.sum((-2, -1)) / scale, jnp.float32),
-        valid=jnp.asarray(keep & valid),
+        masks_low_res=logits,
+        boxes=boxes,
+        iou_preds=np.asarray(result.iou_preds),
+        stability=np.asarray(result.stability),
+        areas=(out_masks.sum((-2, -1)) / scale).astype(np.float32),
+        valid=keep & valid,
     )
 
 

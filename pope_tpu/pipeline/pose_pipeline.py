@@ -68,14 +68,33 @@ class PipelineExecutor:
                 mkpts0, mkpts1, K0, pre_K, valid, key, thresh_px=cfg.ransac_thresh_px
             )
 
+        def prompt_fwd(dinov2_vars, ref_in):
+            # the prompt image's cls token (eval_linemod_json.py:64-65) —
+            # jitted so the production driver never runs an eager forward
+            return models.dinov2.apply(dinov2_vars, ref_in)["x_norm_clstoken"]
+
         self._retrieve_fn = retrieve
         self._match_fn = match
         self._solve_fn = solve
         jr = jax.jit(retrieve)
         jm = jax.jit(match)
+        jp = jax.jit(prompt_fwd)
         self._retrieve = lambda *a: jr(models.dinov2_variables, *a)
         self._match = lambda *a: jm(models.matcher_variables, *a)
         self._solve = jax.jit(solve)
+        self._prompt = lambda ref_in: jp(models.dinov2_variables, ref_in)
+        self._batched_run = None
+
+    def prompt_cls(self, ref_in):
+        """(B, 196, 196, 3) preprocessed prompt images -> (B, D) cls tokens."""
+        return self._prompt(jnp.asarray(ref_in))
+
+    def batched(self):
+        """The vmapped multi-pair runner (built once; jit re-specializes per
+        batch shape)."""
+        if self._batched_run is None:
+            self._batched_run = self.build_batched(0)
+        return self._batched_run
 
     def build_batched(self, n_pairs: int):
         """vmapped multi-pair stages: (B, ...) images/boxes/cls -> per-pair

@@ -114,6 +114,32 @@ def test_full_pipeline_e2e(tiny_models, mini_dataset, tmp_path):
     assert xlsx.exists()
 
 
+def test_evaluate_dataset_batched_matches_serial(tiny_models, mini_dataset):
+    """The batched production driver (evaluate_dataset(batch_size=B) ->
+    runner.run_pairs) must produce the same per-object metrics as the serial
+    per-pair loop."""
+    data_root, pairs_dir = mini_dataset
+    spec = dataclasses.replace(DATASETS["linemod"], crop_size=64)
+    import pope_tpu.eval.manifest as mf
+
+    orig = mf.DATASETS["linemod"]
+    mf.DATASETS["linemod"] = spec
+    try:
+        serial = evaluate_dataset(
+            tiny_models, "linemod", data_root, pairs_dir, run_pair, progress=False
+        )
+        batched = evaluate_dataset(
+            tiny_models, "linemod", data_root, pairs_dir, progress=False, batch_size=2
+        )
+    finally:
+        mf.DATASETS["linemod"] = orig
+
+    assert set(serial) == set(batched)
+    for obj in serial:
+        for k, v in serial[obj].items():
+            np.testing.assert_allclose(batched[obj][k], v, atol=1e-3, err_msg=f"{obj}/{k}")
+
+
 def test_batched_pairs(tiny_models, rng):
     """vmapped multi-pair path produces the same results as per-pair calls."""
     import jax
