@@ -153,12 +153,16 @@ def _exp_so3(w):
 
 
 def refine_pose_gn(R, t, p0, p1, weights, iters: int = 5, damping: float = 1e-6):
-    """Gauss-Newton refinement of (R, t) minimizing weighted Sampson error.
+    """Levenberg-Marquardt refinement of (R, t) minimizing weighted Sampson
+    error.
 
     Parameterizes the update as R <- exp([w]x) R and t on its 2-D tangent
-    plane (5 DoF, the correct dimensionality of an essential matrix). This is
-    the polish OpenCV's pipeline lacks; on LoFTR-quality matches it cuts the
-    rotation error well below the minimal-solver noise floor.
+    plane (5 DoF, the correct dimensionality of an essential matrix), with
+    adaptive damping: a rejected step raises lambda so the next iteration
+    tries a shorter, more gradient-like step instead of recomputing the same
+    rejected one. This is the polish OpenCV's pipeline lacks; on
+    LoFTR-quality matches it cuts the rotation error well below the
+    minimal-solver noise floor.
     """
 
     def E_of(params, R0, t0):
@@ -178,7 +182,7 @@ def refine_pose_gn(R, t, p0, p1, weights, iters: int = 5, damping: float = 1e-6)
     sw = jnp.sqrt(jnp.maximum(weights, 0.0))
 
     def step(carry, _):
-        R0, t0 = carry
+        R0, t0, lam = carry
         zero = jnp.zeros(5, R0.dtype)
 
         def resid(params):
@@ -187,17 +191,73 @@ def refine_pose_gn(R, t, p0, p1, weights, iters: int = 5, damping: float = 1e-6)
 
         r = resid(zero)
         J = jax.jacfwd(resid)(zero)  # (N, 5)
-        JtJ = J.T @ J + damping * jnp.eye(5, dtype=R0.dtype)
-        delta = -jnp.linalg.solve(JtJ, J.T @ r)
+        JtJ = J.T @ J
+        # scale-aware LM damping (Marquardt: lambda * diag)
+        D = jnp.diag(jnp.maximum(jnp.diag(JtJ), 1e-12))
+        delta = -jnp.linalg.solve(JtJ + lam * D + damping * jnp.eye(5, dtype=R0.dtype), J.T @ r)
         _, Rn, tn = E_of(delta, R0, t0)
-        # accept only if the cost decreased
         better = jnp.sum(resid(delta) ** 2) < jnp.sum(r**2)
         Rn = jnp.where(better, Rn, R0)
         tn = jnp.where(better, tn, t0)
-        return (Rn, tn), None
+        lam = jnp.where(better, jnp.maximum(lam / 3.0, 1e-9), jnp.minimum(lam * 10.0, 1e6))
+        return (Rn, tn, lam), None
 
-    (R_f, t_f), _ = jax.lax.scan(step, (R, t), None, length=iters)
+    lam0 = jnp.asarray(1e-3, R.dtype)
+    (R_f, t_f, _), _ = jax.lax.scan(step, (R, t, lam0), None, length=iters)
     return R_f, t_f
+
+
+def _few_point_pose(p0, p1, vmaskf):
+    """Pose from 5-7 correspondences (below the 8-point minimal sample).
+
+    The reference still solves these pairs (cv2's 5-point needs only 5,
+    src/utils/metrics.py:70); a TPU-native Nister would need a 10x10
+    polynomial eigen-solve, so instead we run multi-start Gauss-Newton
+    directly on the 5-DoF essential manifold: seeds from the (rank-deficient,
+    but projected) least-squares fit's 4 decompositions plus 6 canonical
+    translation directions, polished against the weighted Sampson error of
+    ALL valid points, winner by cost, then cheirality via the standard
+    4-decomposition test. With >=5 clean matches (the extraction path skips
+    pairs below 5, linemod.py:142-145) the GN basin is wide enough in
+    practice — tested in test_solver.py (6-match recovery).
+    """
+    E_ls = _eight_point(p0, p1, w=vmaskf)
+    U, _, Vt = _svd3x3(E_ls)
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E_ls.dtype)
+    R1, R2 = U @ W @ Vt, U @ W.T @ Vt
+    t0 = U[:, 2] / jnp.maximum(jnp.linalg.norm(U[:, 2]), 1e-12)
+    eye = jnp.eye(3, dtype=E_ls.dtype)
+    ex, ey, ez = eye[0], eye[1], eye[2]
+    seeds_R = jnp.stack([R1, R1, R2, R2, eye, eye, eye, eye, eye, eye])
+    seeds_t = jnp.stack([t0, -t0, t0, -t0, ex, -ex, ey, -ey, ez, -ez])
+
+    from pope_tpu.geometry.pose import skew
+
+    def polish(R0, tt0):
+        R, t = refine_pose_gn(R0, tt0, p0, p1, vmaskf, iters=16)
+        E = skew(t) @ R
+        cost = jnp.sum(_sampson_residual(E, p0, p1) ** 2 * vmaskf)
+        return R, t, cost
+
+    Rs, ts, costs = jax.vmap(polish)(seeds_R, seeds_t)
+    # With exactly 5 points the problem has up to 10 algebraic solutions, all
+    # at ~zero Sampson cost — cost alone cannot split them (cv2's 5-point
+    # enumerates and lets recoverPose's cheirality decide). Do the same:
+    # among near-optimal candidates, pick the one with the most points in
+    # front of both cameras; cost only tie-breaks.
+    Es = jax.vmap(lambda R_, t_: skew(t_) @ R_)(Rs, ts)
+    R4, t4, ngood4 = jax.vmap(lambda E_: recover_pose_from_E(E_, p0, p1, vmaskf))(Es)
+    # Cheirality first (the algebraic cost cannot split interpolating
+    # solutions at n=5), cost as the tie-break among equal-cheirality
+    # candidates. The n=5 ambiguity is intrinsic — cv2's true 5-point errs
+    # comparably on such instances (see test_solver.py head-to-head).
+    # strictly < 1 so it can never cancel a whole cheirality vote
+    cost_rank = 0.5 * costs / (jnp.max(costs) + 1e-18)
+    score = ngood4.astype(jnp.float32) - cost_rank
+    b = jnp.argmax(score)
+    return R4[b], t4[b], Es[b], ngood4[b]
 
 
 def recover_pose_from_E(E, p0, p1, weight):
@@ -243,7 +303,7 @@ def estimate_pose_ransac(
     n_hyps: int = 2048,
     sample_size: int = 8,
     refit_iters: int = 1,
-    n_rounds: int = 3,
+    n_rounds: int = 6,
 ) -> RansacResult:
     """Parallel-hypothesis essential-matrix RANSAC.
 
@@ -305,7 +365,6 @@ def estimate_pose_ransac(
     # escape: with narrow-FOV / high-noise data the robust cost is
     # multi-modal and no amount of local refitting can leave a wrong mode,
     # but resampling from the consensus neighbourhood can.
-    n_rounds = 6
 
     def round_step(carry, k):
         log_w, E_best, best_ls = carry
@@ -374,12 +433,22 @@ def estimate_pose_ransac(
     from pope_tpu.geometry.pose import skew as _skew
 
     E_best = _skew(t) @ R
+
+    # --- 5-7 valid matches: below the 8-point minimal sample, switch to the
+    # multi-start manifold solver (the reference's 5-point path still scores
+    # these pairs, metrics.py:70; without this they'd eat the 90-deg penalty)
+    few = n_valid < sample_size
+    R_f, t_f, E_f, n_good_f = _few_point_pose(p0, p1, vmaskf)
+    R = jnp.where(few, R_f, R)
+    t = jnp.where(few, t_f, t)
+    E_best = jnp.where(few, E_f, E_best)
+    n_good = jnp.where(few, n_good_f, n_good)
+
     d_pol = sampson_distance(p0[None], p1[None], E_best[None])[0]
     inl_best = (d_pol < thr2) & valid
-
-    ok = n_valid >= sample_size
     n_inl = jnp.sum(inl_best).astype(jnp.int32)
-    ok &= n_inl >= sample_size
+    ok = jnp.where(few, n_valid >= 5, n_inl >= sample_size)
+    ok &= jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t))
     return RansacResult(
         R=R, t=t, inliers=inl_best, n_inliers=n_inl, n_cheirality=n_good, E=E_best, ok=ok
     )
