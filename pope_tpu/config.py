@@ -40,6 +40,14 @@ class CoarseMatchConfig:
     border_rm: int = 2
     dsmax_temperature: float = 0.1
     match_capacity: int = 1024  # static cap on kept matches (TPU-native)
+    # train-time GT padding of the fine-stage sample set
+    # (cvpr_ds_config.py:39-40; match_capacity plays num_matches_train)
+    train_coarse_percent: float = 0.4
+    train_pad_num_gt_min: int = 200
+    # coarse assignment: 'dual_softmax' (default) | 'sinkhorn'
+    match_type: str = "dual_softmax"
+    skh_iters: int = 3  # sinkhorn iterations (default.py:30-33)
+    skh_init_bin_score: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,7 +190,15 @@ class RegressorConfig:
     nhead: int = 8
     num_layers: int = 6
     rotation_mode: str = "6d"  # '6d' | 'quat' | 'matrix'
-    net_mode: str = "mkpts"  # 'mkpts' | 'imgs' | 'mkpts+imgs'
+    # 'mkpts' | 'imgs' | 'mkpts+imgs' (model0429/model0604) |
+    # 'mkpts+vim' (model0606: frozen VisionMamba image branch) | 'vim'
+    net_mode: str = "mkpts"
+    # branch fusion: 'cross_attn' (model0429_mkpts.py:330-337) |
+    # 'transformer' (model0604.py MoCoPE's nn.Transformer pair)
+    fusion: str = "cross_attn"
+    fusion_layers: int = 2  # encoder/decoder depth of the transformer fusion
+    vim_size: str = "small"  # 'tiny' | 'small' (model0606.py:88-96)
+    freeze_vim: bool = True  # the reference trains MoCoPE with Vim frozen
     lr: float = 1e-5
     weight_decay: float = 1e-5
     batch_size: int = 8

@@ -88,6 +88,104 @@ def coarse_matching(
     return CoarseMatches(i_ids=i_ids, j_ids=j_ids, mconf=mconf, valid=valid)
 
 
+def sinkhorn_confidence(feat_c0, feat_c1, bin_score, iters: int = 3, prefilter: bool = True):
+    """Optimal-transport coarse assignment with a learned dustbin
+    (coarse_matching.py:121-143 semantics; the log-domain Sinkhorn is the
+    SuperGlue transport with uniform marginals where real rows/cols carry
+    mass 1 and the dustbin carries the opposite side's count).
+
+    feat: (B, L, C) / (B, S, C); bin_score: learned scalar.
+    Returns (B, L, S) confidence (dustbin row/col stripped). With
+    `prefilter`, rows/cols whose transport argmax is the dustbin are zeroed
+    (the reference's eval-time skh_prefilter, cvpr_ds_config.py:38).
+    """
+    B, L, C = feat_c0.shape
+    S = feat_c1.shape[1]
+    sim = jnp.einsum("blc,bsc->bls", feat_c0 / (C**0.5), feat_c1 / (C**0.5))
+
+    alpha = jnp.asarray(bin_score, sim.dtype)
+    bins0 = jnp.broadcast_to(alpha, (B, L, 1))
+    bins1 = jnp.broadcast_to(alpha, (B, 1, S))
+    corner = jnp.broadcast_to(alpha, (B, 1, 1))
+    Z = jnp.concatenate(
+        [jnp.concatenate([sim, bins0], -1), jnp.concatenate([bins1, corner], -1)], 1
+    )  # (B, L+1, S+1)
+
+    ms, ns = float(L), float(S)
+    norm = -jnp.log(ms + ns)
+    log_mu = jnp.concatenate([jnp.full((L,), norm), jnp.asarray([jnp.log(ns) + norm])])
+    log_nu = jnp.concatenate([jnp.full((S,), norm), jnp.asarray([jnp.log(ms) + norm])])
+
+    def body(carry, _):
+        u, v = carry
+        u = log_mu[None] - jax.nn.logsumexp(Z + v[:, None, :], axis=2)
+        v = log_nu[None] - jax.nn.logsumexp(Z + u[:, :, None], axis=1)
+        return (u, v), None
+
+    u0 = jnp.zeros((B, L + 1), Z.dtype)
+    v0 = jnp.zeros((B, S + 1), Z.dtype)
+    (u, v), _ = jax.lax.scan(body, (u0, v0), None, length=iters)
+    log_assign = Z + u[:, :, None] + v[:, None, :] - norm
+    assign = jnp.exp(log_assign)  # (B, L+1, S+1)
+    conf = assign[:, :L, :S]
+    if prefilter:
+        row_bin = jnp.argmax(assign[:, :L, :], axis=2) == S  # (B, L)
+        col_bin = jnp.argmax(assign[:, :, :S], axis=1) == L  # (B, S)
+        conf = conf * (~row_bin[:, :, None]) * (~col_bin[:, None, :])
+    return conf
+
+
+def gt_pad_matches(cm: CoarseMatches, gt_valid, gt_j_of_i, gt_min: int, key=None) -> CoarseMatches:
+    """Train-time GT padding of the fine-stage sample set
+    (coarse_matching.py:200-236 semantics, static-shape):
+
+    The last `gt_min` capacity slots — plus every slot whose prediction is
+    invalid — are replaced by ground-truth coarse matches, so the fine stage
+    always trains on supervised windows even when early predictions are noise.
+    GT paddings get mconf=0 like the reference (:230). Predictions keep their
+    top-confidence order (the reference randomly subsamples; top-conf is the
+    deterministic analogue).
+
+    gt_valid: (B, L) bool rows with a GT match; gt_j_of_i: (B, L) the GT
+    column per row; key: optional PRNG key to randomize which GT matches pad.
+    """
+    B, M = cm.i_ids.shape
+    L = gt_valid.shape[1]
+    if key is not None:
+        noise = jax.random.uniform(key, (B, L))
+    else:
+        # cheap deterministic hash noise: avoid always padding top-left cells
+        h = jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(2654435761)  # Knuth
+        noise = ((h % jnp.uint32(65536)).astype(jnp.float32) / 65536.0)[None, :] * jnp.ones((B, 1))
+    gt_score = jnp.where(gt_valid, 1.0 + noise, -1.0)
+    k = min(M, L)
+    gt_top, gt_rows = jax.lax.top_k(gt_score, k)  # (B, k) best GT rows
+    if k < M:  # capacity exceeds grid size: cycle
+        reps = -(-M // k)
+        gt_top = jnp.tile(gt_top, (1, reps))[:, :M]
+        gt_rows = jnp.tile(gt_rows, (1, reps))[:, :M]
+    gt_ok = gt_top > 0.0
+    gt_cols = jnp.take_along_axis(gt_j_of_i, gt_rows, axis=1)
+
+    slot = jnp.arange(M)
+    use_gt = (slot[None, :] >= M - gt_min) | ~cm.valid
+    # k-th GT slot takes the k-th ranked GT match, cycling when there are
+    # fewer GT matches than slots (the reference pads by sampling WITH
+    # replacement, coarse_matching.py:226-229)
+    gt_rank = jnp.clip(jnp.cumsum(use_gt.astype(jnp.int32), axis=1) - 1, 0, M - 1)
+    n_gt = jnp.sum(gt_valid, axis=1, keepdims=True)
+    gt_rank = jnp.where(n_gt > 0, gt_rank % jnp.maximum(n_gt, 1), gt_rank)
+    gi = jnp.take_along_axis(gt_rows, gt_rank, axis=1)
+    gj = jnp.take_along_axis(gt_cols, gt_rank, axis=1)
+    gv = jnp.take_along_axis(gt_ok, gt_rank, axis=1)
+    return CoarseMatches(
+        i_ids=jnp.where(use_gt, gi, cm.i_ids),
+        j_ids=jnp.where(use_gt, gj, cm.j_ids),
+        mconf=jnp.where(use_gt, 0.0, cm.mconf),
+        valid=jnp.where(use_gt, gv, cm.valid),
+    )
+
+
 def matches_to_coords(ids, w_c, scale):
     """Grid index -> pixel coords: (i % w, i // w) * scale
     (coarse_matching.py:241-250). Returns (..., 2) [x, y]."""

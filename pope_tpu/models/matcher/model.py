@@ -22,7 +22,9 @@ from pope_tpu.models.matcher.matching import (
     dual_softmax_confidence,
     extract_fine_windows,
     fine_matching,
+    gt_pad_matches,
     matches_to_coords,
+    sinkhorn_confidence,
 )
 from pope_tpu.models.matcher.transformer import (
     LocalFeatureTransformer,
@@ -37,6 +39,8 @@ class MatchResult(NamedTuple):
     valid: jnp.ndarray  # (B, M) bool
     expec_f: jnp.ndarray  # (B, M, 3) normalized fine coords + heatmap std
     conf_matrix: Optional[jnp.ndarray] = None  # (B, L, S) when return_aux
+    i_ids: Optional[jnp.ndarray] = None  # (B, M) coarse ids the fine stage used
+    j_ids: Optional[jnp.ndarray] = None  # (B, M)
 
     @property
     def num_matches(self):
@@ -59,7 +63,19 @@ class Matcher(nn.Module):
     config: MatcherConfig = MatcherConfig()
 
     @nn.compact
-    def __call__(self, image0, image1, train: bool = False, return_aux: bool = False):
+    def __call__(
+        self,
+        image0,
+        image1,
+        train: bool = False,
+        return_aux: bool = False,
+        gt_valid=None,
+        gt_j_of_i=None,
+        gt_pad_key=None,
+    ):
+        """gt_valid/gt_j_of_i: train-time GT coarse matches from
+        supervision.spvs_coarse — when given, GT matches pad the fine-stage
+        sample set (coarse_matching.py:200-236)."""
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         backbone = ResNetFPN(
@@ -106,9 +122,19 @@ class Matcher(nn.Module):
             name="loftr_coarse",
         )(f0, f1)
 
-        conf = dual_softmax_confidence(
-            f0.astype(jnp.float32), f1.astype(jnp.float32), cfg.match_coarse.dsmax_temperature
-        )
+        if cfg.match_coarse.match_type == "sinkhorn":
+            bin_score = self.param(
+                "bin_score",
+                lambda _: jnp.asarray(cfg.match_coarse.skh_init_bin_score, jnp.float32),
+            )
+            conf = sinkhorn_confidence(
+                f0.astype(jnp.float32), f1.astype(jnp.float32), bin_score,
+                iters=cfg.match_coarse.skh_iters, prefilter=not train,
+            )
+        else:
+            conf = dual_softmax_confidence(
+                f0.astype(jnp.float32), f1.astype(jnp.float32), cfg.match_coarse.dsmax_temperature
+            )
         cm = coarse_matching(
             conf,
             (h0c, w0c),
@@ -117,6 +143,12 @@ class Matcher(nn.Module):
             border_rm=cfg.match_coarse.border_rm,
             capacity=cfg.match_coarse.match_capacity,
         )
+        if gt_valid is not None:
+            gt_min = min(
+                cfg.match_coarse.train_pad_num_gt_min,
+                cfg.match_coarse.match_capacity // 2,
+            )
+            cm = gt_pad_matches(cm, gt_valid, gt_j_of_i, gt_min, key=gt_pad_key)
 
         # ---- fine stage ----
         W = cfg.fine_window_size
@@ -171,4 +203,6 @@ class Matcher(nn.Module):
             valid=cm.valid,
             expec_f=expec_f,
             conf_matrix=conf if return_aux else None,
+            i_ids=cm.i_ids if return_aux else None,
+            j_ids=cm.j_ids if return_aux else None,
         )

@@ -51,29 +51,24 @@ def matcher_train_step(
     spv = spvs_coarse(batch, cfg.coarse_stride)
 
     def loss_fn(params):
+        # GT coarse matches pad the fine-stage sample set inside the forward
+        # (coarse_matching.py:200-236): early in training the predictions are
+        # noise, so without this the fine loss has almost no signal
         result, mutated = matcher.apply(
             {"params": params, "batch_stats": state.batch_stats},
             batch["image0"],
             batch["image1"],
             train=True,
             return_aux=True,
+            gt_valid=spv["spv_valid"],
+            gt_j_of_i=spv["spv_j_of_i"],
+            gt_pad_key=batch.get("gt_pad_key"),
             mutable=["batch_stats"],
         )
-        # fine supervision at the predicted coarse matches: GT offset from
-        # the warped grid (supervision.py spvs_fine)
-        # i/j ids are recovered from predicted pixel coords
-        w1c = batch["image1"].shape[2] // cfg.coarse_stride
-        i_ids = (
-            (result.mkpts0[..., 1] // cfg.coarse_stride) * (batch["image0"].shape[2] // cfg.coarse_stride)
-            + result.mkpts0[..., 0] // cfg.coarse_stride
-        ).astype(jnp.int32)
-        j_ids = (
-            (result.mkpts1[..., 1] // cfg.coarse_stride) * w1c
-            + result.mkpts1[..., 0] // cfg.coarse_stride
-        ).astype(jnp.int32)
-        i_ids = jnp.clip(i_ids, 0, spv["spv_w_pt0_i"].shape[1] - 1)
-        j_ids = jnp.clip(j_ids, 0, spv["spv_grid_pt1_i"].shape[1] - 1)
-        expec_f_gt = spvs_fine(spv, i_ids, j_ids, cfg.fine_stride, cfg.fine_window_size)
+        # fine supervision at the ids the fine stage actually used
+        expec_f_gt = spvs_fine(
+            spv, result.i_ids, result.j_ids, cfg.fine_stride, cfg.fine_window_size
+        )
         total, metrics = matcher_loss(result, spv, expec_f_gt, loss_cfg)
         return total, (metrics, mutated["batch_stats"])
 
