@@ -130,8 +130,16 @@ def main(argv=None):
     pt.add_argument("--dataset", required=True)
     pt.add_argument("--points-dir", required=True)
     pt.add_argument("--data-root", default="data")
-    pt.add_argument("--net-mode", default="mkpts", choices=["mkpts", "imgs", "mkpts+imgs"])
+    pt.add_argument(
+        "--net-mode", default="mkpts",
+        choices=["mkpts", "imgs", "mkpts+imgs", "mkpts+vim", "vim"],
+    )
     pt.add_argument("--rotation-mode", default="6d", choices=["6d", "quat", "matrix"])
+    pt.add_argument(
+        "--fusion", default="cross_attn", choices=["cross_attn", "transformer"],
+        help="branch fusion: model0429 cross-attn or model0604 transformer pair",
+    )
+    pt.add_argument("--vim-size", default="small", choices=["tiny", "small"])
     pt.add_argument("--epochs", type=int, default=100)
     pt.add_argument("--num-sample", type=int, default=500)
     pt.add_argument("--ckpt-dir", default="checkpoints")

@@ -43,11 +43,16 @@ def load_ckpt(path: str, like):
 
 def train_main(args):
     cfg = RegressorConfig(
-        num_sample=args.num_sample, net_mode=args.net_mode, rotation_mode=args.rotation_mode
+        num_sample=args.num_sample, net_mode=args.net_mode, rotation_mode=args.rotation_mode,
+        fusion=getattr(args, "fusion", "cross_attn"),
+        vim_size=getattr(args, "vim_size", "small"),
     )
+    # 'imgs' (ConvNeXtV2) and 'vim' (frozen VisionMamba, model0606.py) both
+    # consume the dumped crops
+    with_images = ("imgs" in cfg.net_mode) or ("vim" in cfg.net_mode)
     data = load_pose_dataset(
         args.dataset, args.data_root, getattr(args, "pairs_dir", "data/pairs"),
-        args.points_dir, load_images="imgs" in cfg.net_mode,
+        args.points_dir, load_images=with_images,
     )
     if not data:
         raise SystemExit("no extraction dumps found; run `pope_tpu extract` first")
@@ -55,7 +60,6 @@ def train_main(args):
     print(f"dataset: {len(train)} train / {len(val)} val pairs")
 
     model = MkptsRegModel(cfg)
-    with_images = "imgs" in cfg.net_mode
     first = next(make_batches(train, cfg.num_sample, 1, seed=cfg.seed, with_images=with_images))
     sample = (
         jnp.asarray(first["mkpts0"]), jnp.asarray(first["mkpts1"]),

@@ -89,6 +89,68 @@ def test_rotation_modes(rng):
             np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-4)
 
 
+def test_mkpts_vim_mode_trains_with_frozen_vim(rng):
+    """net_mode='mkpts+vim' (model0606.py MoCoPE): VisionMamba image branch,
+    frozen — no gradient reaches vim params; the rest of the model descends."""
+    cfg = RegressorConfig(
+        num_sample=16, d_model=32, nhead=2, net_mode="mkpts+vim",
+        vim_size="test", lr=2e-3,
+    )
+    model = MkptsRegModel(cfg)
+    batch = _tiny_batch(rng, B=2, N=16)
+    batch["img0"] = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    batch["img1"] = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (batch["mkpts0"], batch["mkpts1"], batch["img0"], batch["img1"]), cfg,
+    )
+    assert "vim" in state.params, list(state.params)
+
+    def loss_of(params):
+        t, R = model.apply({"params": params}, batch["mkpts0"], batch["mkpts1"], batch["img0"], batch["img1"])
+        loss, _ = pose_loss(t, R, batch["gt_t"], batch["gt_R"])
+        return loss
+
+    grads = jax.grad(loss_of)(state.params)
+    vim_norm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads["vim"]))
+    rest = {k: v for k, v in grads.items() if k != "vim"}
+    rest_norm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(rest))
+    assert vim_norm == 0.0, "vim must be frozen (stop_gradient)"
+    assert rest_norm > 0.0
+
+    step = jax.jit(train_step)
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all() and min(losses[1:]) < losses[0], losses
+
+
+def test_transformer_fusion_mode(rng):
+    """cfg.fusion='transformer' (model0604.py MoCoPE's nn.Transformer pair):
+    builds, runs, and descends in 'mkpts+imgs' mode."""
+    cfg = RegressorConfig(
+        num_sample=16, d_model=32, nhead=2, net_mode="mkpts+imgs",
+        fusion="transformer", fusion_layers=1, lr=2e-3,
+    )
+    model = MkptsRegModel(cfg, cnn_name="atto")
+    batch = _tiny_batch(rng, B=2, N=16)
+    batch["img0"] = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    batch["img1"] = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        (batch["mkpts0"], batch["mkpts1"], batch["img0"], batch["img1"]), cfg,
+    )
+    assert any("fuse_mkpts_q" in k for k in state.params), list(state.params)
+    assert "enc0_attn" in state.params["fuse_mkpts_q"]
+    step = jax.jit(train_step)
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all() and min(losses[1:]) < losses[0], losses
+
+
 def test_pose_loss_zero_at_gt(rng):
     t = jnp.asarray(rng.normal(0, 1, (3, 3)), jnp.float32)
     R = jnp.broadcast_to(jnp.eye(3), (3, 3, 3))
