@@ -32,9 +32,12 @@ def evaluate_pairs(
     for rec in pair_results:
         obj = rec["object"]
         m = per_obj.setdefault(
-            obj, {"R_errs": [], "t_errs": [], "identifiers": [], "recalled": 0, "total": 0}
+            obj,
+            {"R_errs": [], "t_errs": [], "epi_errs": [], "identifiers": [], "recalled": 0, "total": 0},
         )
         m["total"] += 1
+        if rec.get("epi_errs") is not None:
+            m["epi_errs"].append(np.asarray(rec["epi_errs"]))
         if rec.get("pre_bbox") is not None and rec.get("gt_bbox") is not None:
             iou = recall_object(rec["pre_bbox"], rec["gt_bbox"])
             m["recalled"] += int(iou > 0.5)
@@ -164,27 +167,28 @@ def evaluate_dataset(
             run_pairs = _rp
         from pope_tpu.data.loader import ThreadedLoader
 
-        from pope_tpu.pipeline.runner import _load_pair_host
+        from pope_tpu.pipeline.runner import prepare_batch
 
         def gen_batches():
-            # decode images in the producer thread: IO overlaps device compute
-            chunk, hosts = [], []
+            # decode images AND start the uint8 uploads in the producer
+            # thread: disk IO + the h2d transfers overlap device compute
+            chunk = []
             for paths in iter_pairs(data_root, spec, manifest):
                 chunk.append(paths)
-                hosts.append(_load_pair_host(paths))
                 if len(chunk) == batch_size:
-                    yield chunk, hosts
-                    chunk, hosts = [], []
+                    yield (chunk, *prepare_batch(chunk))
+                    chunk = []
             if chunk:
-                yield chunk, hosts
+                yield (chunk, *prepare_batch(chunk))
 
-        for chunk, hosts in ThreadedLoader(gen_batches, prefetch=2):
+        for chunk, hosts, dev in ThreadedLoader(gen_batches, prefetch=2):
             if max_pairs is not None and n >= max_pairs:
                 break
-            if max_pairs is not None:
+            if max_pairs is not None and len(chunk) > max_pairs - n:
                 chunk = chunk[: max_pairs - n]
                 hosts = hosts[: max_pairs - n]
-            records.extend(run_pairs(models, chunk, spec, hosts=hosts))
+                dev = {k: v[: max_pairs - n] for k, v in dev.items()}
+            records.extend(run_pairs(models, chunk, spec, hosts=hosts, dev=dev))
             n += len(chunk)
             if progress and (n % 50 < batch_size):
                 print(f"[{dataset}] {n} pairs")

@@ -24,6 +24,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pope_tpu.geometry.affine import get_K_crop_resize, get_image_crop_resize
 from pope_tpu.models.dinov2.preprocess import IMAGENET_MEAN, IMAGENET_STD, cls_token_cosine
@@ -46,12 +47,12 @@ class PipelineExecutor:
         # compiles and defeats the persistent compile cache
         def retrieve(dinov2_vars, image1, boxes_xywh, valid, K1, ref_cls):
             return retrieve_top_k(
-                models, image1, boxes_xywh, valid, K1, ref_cls,
+                models, _to_rgb01(image1), boxes_xywh, valid, K1, ref_cls,
                 top_k=cfg.top_k, crop_size=crop_size, dinov2_variables=dinov2_vars,
             )
 
         def match(matcher_vars, image0_rgb01, crops):
-            ref_gray = _rgb01_to_gray(image0_rgb01)
+            ref_gray = _rgb01_to_gray(_to_rgb01(image0_rgb01))
             crop_grays = jax.vmap(_rgb01_to_gray)(crops)
             res, strong = match_and_score(
                 models, ref_gray, crop_grays, cfg.matcher.mconf_strong_thr,
@@ -73,21 +74,37 @@ class PipelineExecutor:
             # jitted so the production driver never runs an eager forward
             return models.dinov2.apply(dinov2_vars, ref_in)["x_norm_clstoken"]
 
+        def prompt_fwd_raw(dinov2_vars, imgs):
+            # full path from raw (B, H, W, 3) frames: resize/crop/normalize
+            # (dinov2_utils.py:55-78 center_crop path) fused into the forward
+            from pope_tpu.models.dinov2.preprocess import preprocess_image
+
+            imgs = _to_rgb01(imgs) * 255.0  # preprocess_image expects [0,255]
+            ref_in = jax.vmap(lambda im: preprocess_image(im, center_crop=True)[0])(imgs)
+            return models.dinov2.apply(dinov2_vars, ref_in)["x_norm_clstoken"]
+
         self._retrieve_fn = retrieve
         self._match_fn = match
         self._solve_fn = solve
         jr = jax.jit(retrieve)
         jm = jax.jit(match)
         jp = jax.jit(prompt_fwd)
+        jpr = jax.jit(prompt_fwd_raw)
         self._retrieve = lambda *a: jr(models.dinov2_variables, *a)
         self._match = lambda *a: jm(models.matcher_variables, *a)
         self._solve = jax.jit(solve)
         self._prompt = lambda ref_in: jp(models.dinov2_variables, ref_in)
+        self._prompt_raw = lambda imgs: jpr(models.dinov2_variables, imgs)
         self._batched_run = None
 
     def prompt_cls(self, ref_in):
         """(B, 196, 196, 3) preprocessed prompt images -> (B, D) cls tokens."""
         return self._prompt(jnp.asarray(ref_in))
+
+    def prompt_cls_raw(self, imgs):
+        """(B, H, W, 3) raw uint8/float[0,1] frames -> (B, D) cls tokens;
+        the resize/crop/normalize runs on device inside one program."""
+        return self._prompt_raw(imgs)
 
     def batched(self):
         """The vmapped multi-pair runner (built once; jit re-specializes per
@@ -96,12 +113,17 @@ class PipelineExecutor:
             self._batched_run = self.build_batched(0)
         return self._batched_run
 
-    def build_batched(self, n_pairs: int):
+    def build_batched(self, n_pairs: int = 0, mesh=None):
         """vmapped multi-pair stages: (B, ...) images/boxes/cls -> per-pair
         results. Batching the pair axis amortizes both the per-dispatch
         overhead and the small-matrix linalg that dominates single-pair
-        latency; shard the leading axis over a dp mesh for multi-chip
-        (BASELINE.json config #5)."""
+        latency.
+
+        mesh: optional jax.sharding.Mesh with a 'dp' axis — inputs are
+        sharded over dp (the reference's only scalable axis is this pair
+        loop, SURVEY §2.5 / BASELINE.json config #5); the SPMD partitioner
+        replicates weights and splits every stage across chips. B must be
+        divisible by mesh.shape['dp']."""
         jrb = jax.jit(jax.vmap(self._retrieve_fn, in_axes=(None, 0, 0, 0, 0, 0)))
         jmb = jax.jit(jax.vmap(self._match_fn, in_axes=(None, 0, 0)))
         models = self.models
@@ -124,7 +146,19 @@ class PipelineExecutor:
                 n_strong=n_strong, sim_scores=sim,
             )
 
-        return run
+        if mesh is None:
+            return run
+
+        def run_dp(*args):
+            def put(x):
+                x = jnp.asarray(x)
+                spec = P(*(["dp"] + [None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            with mesh:
+                return run(*(put(a) for a in args))
+
+        return run_dp
 
     def estimate_pair(self, image0_rgb01, image1_rgb01, K0, K1, amg_result, ref_cls, key) -> "PairResult":
         top_idx, sim, crops, crop_Ks, boxes = self._retrieve(
@@ -223,6 +257,17 @@ def _rgb01_to_gray(img_rgb01):
     return (
         0.299 * img_rgb01[..., 0] + 0.587 * img_rgb01[..., 1] + 0.114 * img_rgb01[..., 2]
     )
+
+
+def _to_rgb01(img):
+    """Accept uint8 [0,255] or float [0,1] images; cast/scale inside jit.
+
+    The production path ships uint8 over the host->device link (the tunnel
+    runs at ~6 MB/s here; float32 frames quadruple the upload and dominated
+    the whole pipeline) and converts on device."""
+    if jnp.issubdtype(jnp.asarray(img).dtype, jnp.integer):
+        return jnp.asarray(img, jnp.float32) / 255.0
+    return jnp.asarray(img)
 
 
 def estimate_pair(

@@ -18,7 +18,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pope_tpu.models.dinov2.preprocess import preprocess_image
 from pope_tpu.pipeline.pose_pipeline import PipelineExecutor
 
 
@@ -37,6 +36,17 @@ def pair_key(pair_name: str):
     """Stable per-pair PRNG key: crc32 digest, NOT Python's salted hash()
     (reproducible across processes without pinning PYTHONHASHSEED)."""
     return jax.random.PRNGKey(zlib.crc32(pair_name.encode()) & 0x7FFFFFFF)
+
+
+def pair_keys_np(paths_list) -> np.ndarray:
+    """(B, 2) uint32 threefry keys built on host (== PRNGKey(crc32) without
+    B eager device dispatches)."""
+    return np.stack(
+        [
+            np.array([0, zlib.crc32(p.pair_name.encode()) & 0x7FFFFFFF], np.uint32)
+            for p in paths_list
+        ]
+    )
 
 
 def load_pose_4x4(path: str) -> np.ndarray:
@@ -64,6 +74,27 @@ def pose_errors_np(T_0to1: np.ndarray, R: np.ndarray, t: np.ndarray):
     cos_r = (np.trace(R.T @ T_0to1[:3, :3]) - 1.0) / 2.0
     r_err = np.rad2deg(np.abs(np.arccos(np.clip(cos_r, -1.0, 1.0))))
     return float(t_err), float(r_err)
+
+
+def epipolar_errors_np(T_0to1, mkpts0, mkpts1, K0, K1):
+    """Per-match squared symmetric epipolar error vs the GT relative pose —
+    host numpy twin of geometry.epipolar.compute_symmetric_epipolar_errors
+    (src/utils/metrics.py:27-66). mkpts1/K1 live in the selected crop frame."""
+    R, t = T_0to1[:3, :3], T_0to1[:3, 3]
+    E = np.array(
+        [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]], np.float64
+    ) @ R.astype(np.float64)
+    p0 = (mkpts0 - K0[[0, 1], [2, 2]][None]) / K0[[0, 1], [0, 1]][None]
+    p1 = (mkpts1 - K1[[0, 1], [2, 2]][None]) / K1[[0, 1], [0, 1]][None]
+    h0 = np.concatenate([p0, np.ones_like(p0[:, :1])], -1)
+    h1 = np.concatenate([p1, np.ones_like(p1[:, :1])], -1)
+    Ep0 = h0 @ E.T
+    Etp1 = h1 @ E
+    num = np.sum(h1 * Ep0, -1) ** 2
+    return num * (
+        1.0 / np.maximum(Ep0[:, 0] ** 2 + Ep0[:, 1] ** 2, 1e-18)
+        + 1.0 / np.maximum(Etp1[:, 0] ** 2 + Etp1[:, 1] ** 2, 1e-18)
+    )
 
 
 def gt_bbox_from_box3d(box3d_path: str, pose1: np.ndarray, K1: np.ndarray) -> Optional[np.ndarray]:
@@ -107,6 +138,18 @@ def _record(paths, host, result_np):
     else:
         t_err = R_err = None
     gt_bbox = gt_bbox_from_box3d(paths.box3d, pose1, K1)
+    # matching-precision axis (prec@5e-4, src/utils/metrics.py:167-178):
+    # epipolar error of each kept match vs the GT relative pose
+    if "mkpts0" in result_np:
+        mv = np.asarray(result_np["match_valid"], bool)
+        epi_errs = epipolar_errors_np(
+            T_0to1,
+            np.asarray(result_np["mkpts0"], np.float64)[mv],
+            np.asarray(result_np["mkpts1"], np.float64)[mv],
+            K0, np.asarray(result_np["pre_K"], np.float64),
+        )
+    else:
+        epi_errs = np.zeros((0,))
     return {
         "object": paths.object_label,
         "identifier": paths.pair_name,
@@ -116,6 +159,7 @@ def _record(paths, host, result_np):
         "pre_bbox": np.asarray(result_np["pre_bbox"]).astype(int).tolist(),
         "gt_bbox": gt_bbox.tolist() if gt_bbox is not None else None,
         "n_strong": int(result_np["n_strong"]),
+        "epi_errs": epi_errs,
         "T_0to1": T_0to1,
         "R": R,
         "t": t,
@@ -124,32 +168,39 @@ def _record(paths, host, result_np):
 
 def run_pair(models, paths, spec, key=None):
     """Execute the full pipeline for one manifest pair; returns the record
-    consumed by eval.evaluate_pairs. Every device stage is jitted."""
+    consumed by eval.evaluate_pairs. Every device stage is jitted; each
+    frame uploads exactly once as uint8 (the tunnel's h2d bandwidth is the
+    binding constraint — see run_pairs)."""
     key = key if key is not None else pair_key(paths.pair_name)
     host = _load_pair_host(paths)
     img0, img1, K0, K1 = host[:4]
 
     executor = get_executor(models, spec.crop_size)
-    # prompt cls token (eval_linemod_json.py:64-65), jitted
-    ref_in = preprocess_image(img0, center_crop=True)
-    ref_cls = executor.prompt_cls(ref_in)[0]
+    img0_u8 = jnp.asarray(img0, jnp.uint8)
+    img1_u8 = jnp.asarray(img1, jnp.uint8)
+    # prompt cls token (eval_linemod_json.py:64-65), fully on device
+    ref_cls = executor.prompt_cls_raw(img0_u8[None])[0]
 
-    amg_res = models.amg.generate(img1)
+    amg_res = models.amg.generate_batch(img1_u8[None], keep_logits=True)[0]
 
     result = executor.estimate_pair(
-        jnp.asarray(img0, jnp.float32) / 255.0,
-        jnp.asarray(img1, jnp.float32) / 255.0,
+        img0_u8,
+        img1_u8,
         jnp.asarray(K0),
         jnp.asarray(K1),
         amg_res,
         ref_cls,
         key,
     )
-    result_np = {
-        "R": np.asarray(result.R), "t": np.asarray(result.t),
-        "ok": np.asarray(result.ok), "pre_bbox": np.asarray(result.pre_bbox),
-        "n_strong": np.asarray(result.n_strong),
-    }
+    result_np = dict(
+        zip(
+            ("R", "t", "ok", "pre_bbox", "n_strong", "mkpts0", "mkpts1", "match_valid", "pre_K"),
+            jax.device_get(
+                (result.R, result.t, result.ok, result.pre_bbox, result.n_strong,
+                 result.mkpts0, result.mkpts1, result.match_valid, result.pre_K)
+            ),
+        )
+    )
     return _record(paths, host, result_np)
 
 
@@ -158,53 +209,66 @@ def _boxes_xywh_np(boxes_xyxy: np.ndarray) -> np.ndarray:
     return np.stack([b[:, 0], b[:, 1], b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], -1)
 
 
-def run_pairs(models, paths_list, spec, keys=None, hosts=None) -> List[dict]:
+def prepare_batch(paths_list):
+    """Host side of one batch: decode files and START the uint8 uploads.
+
+    Runs in the loader's prefetch thread so disk IO and the h2d transfers
+    (the tunnel's ~6 MB/s upload is the binding constraint of this
+    deployment; each frame ships once, as uint8) overlap the previous
+    batch's device compute.
+    """
+    hosts = [_load_pair_host(p) for p in paths_list]
+    dev = {
+        "img0_u8": jax.device_put(np.stack([h[0] for h in hosts]).astype(np.uint8)),
+        "img1_u8": jax.device_put(np.stack([h[1] for h in hosts]).astype(np.uint8)),
+        "K0": jax.device_put(np.stack([h[2] for h in hosts])),
+        "K1": jax.device_put(np.stack([h[3] for h in hosts])),
+        "keys": jax.device_put(pair_keys_np(paths_list)),
+    }
+    return hosts, dev
+
+
+def run_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None) -> List[dict]:
     """Batched production path over B manifest pairs (same image shapes):
 
-      1 x batched SAM encode -> 1 x batched AMG decode (+host postproc)
-      -> 1 x batched prompt cls forward -> 1 x each retrieve/match/solve.
+      1 x batched SAM encode (resize fused) -> 1 x batched AMG decode
+      (+host postproc) -> 1 x batched prompt cls forward (preprocess fused)
+      -> 1 x each retrieve/match/solve.
 
-    ~6 dispatches per batch instead of ~5 per pair; results bit-identical to
-    run_pair per pair (vmap of the same stage functions, test_batched_pairs).
+    Each frame uploads exactly once as uint8; all derived tensors (SAM
+    resize, DINOv2 prompt crop, grayscale) are computed on device. Results
+    match run_pair per pair (vmap of the same stage functions,
+    test_batched_pairs).
 
-    hosts: optional preloaded [_load_pair_host(p)] list (lets a prefetch
-    thread overlap image decode with device compute).
+    hosts/dev: optional preloaded host arrays + started device transfers
+    from prepare_batch (lets a prefetch thread overlap IO + upload with
+    device compute).
     """
     B = len(paths_list)
-    if hosts is None:
-        hosts = [_load_pair_host(p) for p in paths_list]
-    if keys is None:
-        keys = jnp.stack([pair_key(p.pair_name) for p in paths_list])
+    if hosts is None or dev is None:
+        hosts, dev = prepare_batch(paths_list)
+    keys = keys if keys is not None else dev["keys"]
 
     executor = get_executor(models, spec.crop_size)
 
-    amg_results = models.amg.generate_batch([h[1] for h in hosts])
-    ref_in = np.concatenate(
-        [preprocess_image(h[0], center_crop=True) for h in hosts]
-    )
-    ref_cls = executor.prompt_cls(ref_in)  # (B, D)
+    amg_results = models.amg.generate_batch(dev["img1_u8"])
+    ref_cls = executor.prompt_cls_raw(dev["img0_u8"])  # (B, D)
 
-    img0_b = jnp.asarray(np.stack([h[0] for h in hosts]), jnp.float32) / 255.0
-    img1_b = jnp.asarray(np.stack([h[1] for h in hosts]), jnp.float32) / 255.0
-    K0_b = jnp.asarray(np.stack([h[2] for h in hosts]))
-    K1_b = jnp.asarray(np.stack([h[3] for h in hosts]))
     boxes_b = jnp.asarray(np.stack([_boxes_xywh_np(r.boxes) for r in amg_results]))
     valid_b = jnp.asarray(np.stack([np.asarray(r.valid) for r in amg_results]))
 
     run = executor.batched()
-    res = run(img0_b, img1_b, K0_b, K1_b, boxes_b, valid_b, ref_cls, keys)
+    res = run(
+        dev["img0_u8"], dev["img1_u8"], dev["K0"], dev["K1"],
+        boxes_b, valid_b, ref_cls, keys,
+    )
     # one bulk device->host transfer for everything the records need
-    R_b, t_b, ok_b, bbox_b, n_strong_b = jax.device_get(
-        (res.R, res.t, res.ok, res.pre_bbox, res.n_strong)
+    names = ("R", "t", "ok", "pre_bbox", "n_strong", "mkpts0", "mkpts1", "match_valid", "pre_K")
+    vals = jax.device_get(
+        (res.R, res.t, res.ok, res.pre_bbox, res.n_strong,
+         res.mkpts0, res.mkpts1, res.match_valid, res.pre_K)
     )
     return [
-        _record(
-            paths_list[i],
-            hosts[i],
-            {
-                "R": R_b[i], "t": t_b[i], "ok": ok_b[i],
-                "pre_bbox": bbox_b[i], "n_strong": n_strong_b[i],
-            },
-        )
+        _record(paths_list[i], hosts[i], {k: v[i] for k, v in zip(names, vals)})
         for i in range(B)
     ]

@@ -39,12 +39,31 @@ def error_auc(kind, errors, thresholds=None):
     return aucs
 
 
-def aggregate_metrics(metrics, epi_err_thr=5e-4):
-    """Aggregate R/t angular errors over a dataset run.
+def epidist_prec(errors, thresholds, ret_dict=False):
+    """Matching precision at epipolar-distance thresholds: mean over pairs of
+    the per-pair fraction of matches below thr (src/utils/metrics.py:167-178).
 
-    `metrics` carries 'R_errs', 't_errs', 'identifiers' lists, mirroring the
-    reference driver dicts. Returns the same key set and ordering as
-    src/utils/metrics.py:181-215: R aucs, R accs, t aucs, t accs.
+    errors: list of per-pair arrays of (squared) epipolar errors."""
+    precs = []
+    for thr in thresholds:
+        per_pair = [
+            float(np.mean(np.asarray(errs) < thr)) if len(np.asarray(errs)) > 0 else 0.0
+            for errs in errors
+        ]
+        precs.append(float(np.mean(per_pair)) if per_pair else 0.0)
+    if ret_dict:
+        return {f"prec@{t:.0e}": p for t, p in zip(thresholds, precs)}
+    return precs
+
+
+def aggregate_metrics(metrics, epi_err_thr=5e-4):
+    """Aggregate R/t angular errors (and, when per-pair 'epi_errs' are
+    recorded, matching precision) over a dataset run.
+
+    `metrics` carries 'R_errs', 't_errs', 'identifiers' (and optionally
+    'epi_errs': one array per pair) lists, mirroring the reference driver
+    dicts. Returns the same key set and ordering as
+    src/utils/metrics.py:181-215: R aucs, R accs, t aucs, t accs, prec@thr.
     """
     # de-dup identifiers (kept for interface parity; reference computes but
     # doesn't apply unq_ids either, metrics.py:191-193)
@@ -58,6 +77,8 @@ def aggregate_metrics(metrics, epi_err_thr=5e-4):
     out.update(error_acc("R", r_errs))
     out.update(error_auc("t", t_errs))
     out.update(error_acc("t", t_errs))
+    if metrics.get("epi_errs"):
+        out.update(epidist_prec(metrics["epi_errs"], [epi_err_thr], ret_dict=True))
     return out
 
 

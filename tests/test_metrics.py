@@ -62,3 +62,24 @@ def test_recall_object_iou():
     iou = recall_object([0, 0, 10, 10], [5, 0, 15, 10])
     # +1 convention: inter = 6*11, union = 2*121 - 66
     assert abs(iou - (6 * 11) / (2 * 121 - 66)) < 1e-9
+
+
+def test_epidist_prec_reference_semantics():
+    """prec@thr = mean over pairs of per-pair fraction below thr
+    (src/utils/metrics.py:167-178); empty pairs contribute 0."""
+    from pope_tpu.utils.metrics import aggregate_metrics, epidist_prec
+
+    errors = [np.array([1e-5, 1e-3, 2e-4]), np.array([1e-6]), np.array([])]
+    precs = epidist_prec(errors, [5e-4], ret_dict=True)
+    expected = ((2 / 3) + 1.0 + 0.0) / 3
+    assert abs(precs["prec@5e-04"] - expected) < 1e-9
+
+    # wired through aggregate_metrics when per-pair epi_errs are recorded
+    agg = aggregate_metrics(
+        {"R_errs": [1.0, 2.0], "t_errs": [1.0, 2.0], "identifiers": ["a", "b"],
+         "epi_errs": errors[:2]}
+    )
+    assert abs(agg["prec@5e-04"] - ((2 / 3) + 1.0) / 2) < 1e-9
+    # absent epi_errs -> no prec key (serial injectable-test paths)
+    agg2 = aggregate_metrics({"R_errs": [1.0], "t_errs": [1.0], "identifiers": ["a"]})
+    assert not any(k.startswith("prec@") for k in agg2)

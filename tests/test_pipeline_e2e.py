@@ -172,3 +172,35 @@ def test_batched_pairs(tiny_models, rng):
     np.testing.assert_allclose(
         np.asarray(single.mkpts1), np.asarray(res.mkpts1[0]), atol=1e-3
     )
+
+
+def test_batched_pairs_dp_sharded(tiny_models, rng):
+    """The dp-mesh-sharded batched runner must reproduce the unsharded
+    results exactly (BASELINE.json config #5: scale the pair loop over
+    chips; here an 8-virtual-device CPU mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pope_tpu.parallel import make_mesh
+    from pope_tpu.pipeline.pose_pipeline import PipelineExecutor
+
+    ex = PipelineExecutor(tiny_models, crop_size=64)
+    B, C = 8, tiny_models.config.amg.mask_capacity
+    img0 = jnp.asarray(rng.uniform(0, 1, (B, 96, 96, 3)), jnp.float32)
+    img1 = jnp.asarray(rng.uniform(0, 1, (B, 96, 96, 3)), jnp.float32)
+    K = jnp.broadcast_to(jnp.asarray([[100.0, 0, 48], [0, 100, 48], [0, 0, 1]]), (B, 3, 3))
+    boxes = jnp.asarray(rng.uniform(5, 40, (B, C, 4)), jnp.float32)
+    valid = jnp.ones((B, C), bool)
+    ref_cls = jnp.asarray(rng.normal(0, 1, (B, 64)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    run = ex.build_batched(B)
+    base = run(img0, img1, K, K, boxes, valid, ref_cls, keys)
+
+    mesh = make_mesh(8, tp=1)  # dp=8
+    run_dp = ex.build_batched(B, mesh=mesh)
+    res = run_dp(img0, img1, K, K, boxes, valid, ref_cls, keys)
+
+    np.testing.assert_allclose(np.asarray(res.R), np.asarray(base.R), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.mkpts1), np.asarray(base.mkpts1), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res.ok), np.asarray(base.ok))
