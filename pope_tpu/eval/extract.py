@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from pope_tpu.eval.manifest import DATASETS, iter_pairs, load_manifest
-from pope_tpu.models.dinov2.preprocess import preprocess_image
 from pope_tpu.pipeline.runner import get_executor, pair_key
 
 SUBDIRS = ("pre_bbox", "mkpts0", "mkpts1", "pre_K", "img0", "img1")
@@ -37,12 +36,13 @@ def extract_pair(models, paths, spec, out_dir: str, key=None) -> bool:
     K0 = np.loadtxt(paths.k0, delimiter=" ").astype(np.float32)
 
     executor = get_executor(models, spec.crop_size)
-    ref_in = preprocess_image(img0, center_crop=True)
-    ref_cls = executor.prompt_cls(ref_in)[0]
-    amg_res = models.amg.generate(img1)
+    img0_u8 = jnp.asarray(img0, jnp.uint8)
+    img1_u8 = jnp.asarray(img1, jnp.uint8)
+    ref_cls = executor.prompt_cls_raw(img0_u8[None])[0]
+    amg_res = models.amg.generate_batch(img1_u8[None], keep_logits=True)[0]
     result = executor.estimate_pair(
-        jnp.asarray(img0, jnp.float32) / 255.0,
-        jnp.asarray(img1, jnp.float32) / 255.0,
+        img0_u8,
+        img1_u8,
         jnp.asarray(K0),
         jnp.asarray(K1),
         amg_res,

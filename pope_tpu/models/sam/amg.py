@@ -82,15 +82,24 @@ class AutomaticMaskGenerator:
         )
         self._generate_batched_jit = lambda embs, **kw: _jit_b(self.variables, embs, **kw)
 
-        def _encode(variables, images_resized, in_h: int, in_w: int):
-            # (B, in_h, in_w, 3) RGB [0,255] -> (B, 64, 64, 256); preprocess
-            # (normalize + pad-to-square) fuses into the encoder program so the
-            # production path is ONE dispatch per batch (was two eager applies)
+        def _encode(variables, images, in_h: int, in_w: int):
+            # (B, H, W, 3) RGB uint8/float [0,255] -> (B, 64, 64, 256).
+            # Longest-side resize + preprocess (normalize + pad-to-square)
+            # fuse into the encoder program: the production path uploads the
+            # raw uint8 frame ONCE and is ONE dispatch per batch. The
+            # antialiased bilinear resize matches the reference's PIL path
+            # (utils/transforms.py:30-36) more closely than host cv2
+            # INTER_LINEAR did.
+            imgs = jnp.asarray(images, jnp.float32)
+            if images.shape[1:3] != (in_h, in_w):
+                imgs = jax.image.resize(
+                    imgs, (imgs.shape[0], in_h, in_w, 3), method="bilinear", antialias=True
+                )
             pre = jax.vmap(
                 lambda im: self.sam.apply(
                     variables, im, (in_h, in_w), method=self.sam.preprocess
                 )[0]
-            )(images_resized)
+            )(imgs)
             return self.sam.apply(variables, pre, method=self.sam.encode_image)
 
         _enc_jit = jax.jit(_encode, static_argnames=("in_h", "in_w"))
@@ -216,24 +225,25 @@ class AutomaticMaskGenerator:
         one AMG dispatch, host small-region postproc per image. Batching the
         pair axis amortizes the per-dispatch tunnel RTT and fills the MXU.
 
+        images_rgb: list of (H, W, 3) uint8 frames, OR a single (B, H, W, 3)
+        uint8 array (possibly already on device — the runner uploads each
+        frame exactly once; the resize happens on-chip).
+
         keep_logits=False (the eval path, which only consumes boxes/valid)
         transfers 4x less by shipping binarized masks; masks_low_res then
         holds +-1 pseudo-logits. keep_logits=True ships the f32 logits so
         amg_records/demos upsample true mask boundaries.
         """
-        import cv2
-
-        orig_h, orig_w = images_rgb[0].shape[:2]
+        if isinstance(images_rgb, (list, tuple)):
+            images = np.stack([np.asarray(im, np.uint8) for im in images_rgb])
+        else:
+            images = images_rgb  # (B, H, W, 3) host or device array
+        n = images.shape[0]
+        orig_h, orig_w = images.shape[1:3]
         S = self.sam_cfg.encoder.img_size
         in_h, in_w = resize_longest_side(orig_h, orig_w, S)
-        resized = np.stack(
-            [
-                cv2.resize(im, (in_w, in_h), interpolation=cv2.INTER_LINEAR)
-                for im in images_rgb
-            ]
-        ).astype(np.float32)
 
-        embs = self._encode_jit(jnp.asarray(resized), in_h, in_w)  # (B, 64, 64, 256)
+        embs = self._encode_jit(images, in_h, in_w)  # (B, 64, 64, 256)
         res_b = self._generate_batched_jit(
             embs, input_h=in_h, input_w=in_w, orig_h=orig_h, orig_w=orig_w
         )
@@ -247,8 +257,7 @@ class AutomaticMaskGenerator:
         boxes_b, iou_b, stab_b, areas_b, valid_b, binm_b = jax.device_get(
             (res_b.boxes, res_b.iou_preds, res_b.stability, res_b.areas, res_b.valid, binm_dev)
         )
-        out = []
-        for i in range(len(images_rgb)):
+        def finish(i):
             logits_i = (
                 masks_host[i]
                 if masks_host is not None
@@ -263,8 +272,16 @@ class AutomaticMaskGenerator:
                     r, self.cfg.min_mask_region_area, (orig_h, orig_w),
                     self.cfg.box_nms_thresh, binmasks=binm_b[i],
                 )
-            out.append(r)
-        return out
+            return r
+
+        if n > 1 and self.cfg.min_mask_region_area > 0:
+            # the native connected-components op releases the GIL; thread the
+            # per-image cleanup
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(n, 8)) as pool:
+                return list(pool.map(finish, range(n)))
+        return [finish(i) for i in range(n)]
 
 
 def _mask_to_box_np(masks: np.ndarray) -> np.ndarray:
