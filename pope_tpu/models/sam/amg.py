@@ -40,7 +40,10 @@ class AMGResult(NamedTuple):
     @property
     def boxes_xywh(self):
         b = self.boxes
-        return jnp.stack(
+        # host numpy stays host (an eager jnp op on the axon backend costs a
+        # whole remote dispatch); device arrays stay device
+        xp = np if isinstance(b, np.ndarray) else jnp
+        return xp.stack(
             [b[:, 0], b[:, 1], b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], axis=-1
         )
 

@@ -69,6 +69,11 @@ class PipelineExecutor:
                 mkpts0, mkpts1, K0, pre_K, valid, key, thresh_px=cfg.ransac_thresh_px
             )
 
+        def select_best(crop_Ks, boxes, top_idx, best):
+            # winner's intrinsics + box. MUST be jitted: an eager gather on
+            # the axon backend is a whole remote compile + dispatch
+            return crop_Ks[best], boxes[top_idx[best]]
+
         def prompt_fwd(dinov2_vars, ref_in):
             # the prompt image's cls token (eval_linemod_json.py:64-65) —
             # jitted so the production driver never runs an eager forward
@@ -86,6 +91,7 @@ class PipelineExecutor:
         self._retrieve_fn = retrieve
         self._match_fn = match
         self._solve_fn = solve
+        self._select_fn = select_best
         jr = jax.jit(retrieve)
         jm = jax.jit(match)
         jp = jax.jit(prompt_fwd)
@@ -93,6 +99,7 @@ class PipelineExecutor:
         self._retrieve = lambda *a: jr(models.dinov2_variables, *a)
         self._match = lambda *a: jm(models.matcher_variables, *a)
         self._solve = jax.jit(solve)
+        self._select = jax.jit(select_best)
         self._prompt = lambda ref_in: jp(models.dinov2_variables, ref_in)
         self._prompt_raw = lambda imgs: jpr(models.dinov2_variables, imgs)
         self._batched_run = None
@@ -130,15 +137,14 @@ class PipelineExecutor:
         retrieve_b = lambda *a: jrb(models.dinov2_variables, *a)
         match_b = lambda *a: jmb(models.matcher_variables, *a)
         solve_b = jax.jit(jax.vmap(self._solve_fn))
+        select_b = jax.jit(jax.vmap(self._select_fn))
 
         def run(image0_b, image1_b, K0_b, K1_b, amg_boxes_b, amg_valid_b, ref_cls_b, keys):
             top_idx, sim, crops, crop_Ks, boxes = retrieve_b(
                 image1_b, amg_boxes_b, amg_valid_b, K1_b, ref_cls_b
             )
             mkpts0, mkpts1, mconf, mvalid, n_strong, best = match_b(image0_b, crops)
-            bidx = jnp.arange(image0_b.shape[0])
-            pre_K = crop_Ks[bidx, best]
-            pre_bbox = boxes[bidx, top_idx[bidx, best]]
+            pre_K, pre_bbox = select_b(crop_Ks, boxes, top_idx, best)
             sol = solve_b(mkpts0, mkpts1, K0_b, pre_K, mvalid, keys)
             return PairResult(
                 R=sol.R, t=sol.t, ok=sol.ok, pre_bbox=pre_bbox, pre_K=pre_K,
@@ -167,8 +173,7 @@ class PipelineExecutor:
         mkpts0, mkpts1, mconf, mvalid, n_strong, best = self._match(
             jnp.asarray(image0_rgb01), crops
         )
-        pre_K = crop_Ks[best]
-        pre_bbox = boxes[top_idx[best]]
+        pre_K, pre_bbox = self._select(crop_Ks, boxes, top_idx, best)
         sol = self._solve(mkpts0, mkpts1, K0, pre_K, mvalid, key)
         return PairResult(
             R=sol.R, t=sol.t, ok=sol.ok, pre_bbox=pre_bbox, pre_K=pre_K,

@@ -168,40 +168,11 @@ def _record(paths, host, result_np):
 
 def run_pair(models, paths, spec, key=None):
     """Execute the full pipeline for one manifest pair; returns the record
-    consumed by eval.evaluate_pairs. Every device stage is jitted; each
-    frame uploads exactly once as uint8 (the tunnel's h2d bandwidth is the
-    binding constraint — see run_pairs)."""
-    key = key if key is not None else pair_key(paths.pair_name)
-    host = _load_pair_host(paths)
-    img0, img1, K0, K1 = host[:4]
-
-    executor = get_executor(models, spec.crop_size)
-    img0_u8 = jnp.asarray(img0, jnp.uint8)
-    img1_u8 = jnp.asarray(img1, jnp.uint8)
-    # prompt cls token (eval_linemod_json.py:64-65), fully on device
-    ref_cls = executor.prompt_cls_raw(img0_u8[None])[0]
-
-    amg_res = models.amg.generate_batch(img1_u8[None], keep_logits=True)[0]
-
-    result = executor.estimate_pair(
-        img0_u8,
-        img1_u8,
-        jnp.asarray(K0),
-        jnp.asarray(K1),
-        amg_res,
-        ref_cls,
-        key,
-    )
-    result_np = dict(
-        zip(
-            ("R", "t", "ok", "pre_bbox", "n_strong", "mkpts0", "mkpts1", "match_valid", "pre_K"),
-            jax.device_get(
-                (result.R, result.t, result.ok, result.pre_bbox, result.n_strong,
-                 result.mkpts0, result.mkpts1, result.match_valid, result.pre_K)
-            ),
-        )
-    )
-    return _record(paths, host, result_np)
+    consumed by eval.evaluate_pairs. Delegates to the batched production
+    path with B=1 (every device stage jitted, one uint8 upload per frame —
+    the reference's serial loop shape, eval_linemod_json.py:51)."""
+    keys = None if key is None else jnp.asarray(key)[None]
+    return run_pairs(models, [paths], spec, keys=keys)[0]
 
 
 def _boxes_xywh_np(boxes_xyxy: np.ndarray) -> np.ndarray:
