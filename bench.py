@@ -129,12 +129,15 @@ def main():
 
         batch = BATCH
         try:
-            run(batch, batch)  # compile + warm every stage at this batch shape
+            # compile + warm every stage at this batch shape; three warm
+            # batches reach steady state (thread pools, native lib, device
+            # caches all need a couple of calls)
+            run(3 * batch, batch)
         except RuntimeError as e:  # HBM pressure: fall back to a smaller batch
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
             batch = 2
-            run(batch, batch)
+            run(3 * batch, batch)
 
         t0 = time.time()
         per_obj = run(N_TIMED, batch)

@@ -109,6 +109,34 @@ class AutomaticMaskGenerator:
         self._encode_jit = lambda imgs, in_h, in_w: _enc_jit(self.variables, imgs, in_h=in_h, in_w=in_w)
         self._binarize_jit = jax.jit(lambda m: (m > MASK_THRESHOLD).astype(jnp.uint8))
 
+        def _binpack(m):
+            # device-side bit-packing of the binarized masks: the d2h link
+            # moves fresh data slowly, so ship 1 bit/pixel (np.unpackbits
+            # little-endian layout on host), 8x less than uint8
+            bits = (m > MASK_THRESHOLD).astype(jnp.uint8)
+            s = bits.shape
+            bits = bits.reshape(s[:-1] + (s[-1] // 8, 8))
+            weights = (2 ** jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint8)
+            return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32).astype(jnp.uint8)
+
+        self._binpack_jit = jax.jit(_binpack)
+
+        def _pack_small(r):
+            # one d2h leaf for all per-candidate scalars (the tunnel charges
+            # a ~40ms floor per fetched array)
+            return jnp.concatenate(
+                [
+                    r.boxes,
+                    r.iou_preds[..., None],
+                    r.stability[..., None],
+                    r.areas[..., None],
+                    r.valid.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )  # (B, C, 8)
+
+        self._pack_small_jit = jax.jit(_pack_small)
+
     # ---- device path ----
 
     def _generate_impl(self, variables, embeddings, input_h: int, input_w: int, orig_h: int, orig_w: int):
@@ -250,16 +278,23 @@ class AutomaticMaskGenerator:
         res_b = self._generate_batched_jit(
             embs, input_h=in_h, input_w=in_w, orig_h=orig_h, orig_w=orig_w
         )
-        # one bulk device->host transfer; components/boxes/NMS run on host
-        binm_dev = self._binarize_jit(res_b.masks_low_res)
+        # one bulk device->host transfer of TWO leaves; components/boxes/NMS
+        # run on host. Masks ship bit-packed (1 bit/px): fresh-data d2h
+        # through the tunnel is slow and charges a floor per leaf.
+        packed_dev = self._binpack_jit(res_b.masks_low_res)
+        small_dev = self._pack_small_jit(res_b)
         masks_host = (
             np.asarray(res_b.masks_low_res)
             if keep_logits
             else None
         )
-        boxes_b, iou_b, stab_b, areas_b, valid_b, binm_b = jax.device_get(
-            (res_b.boxes, res_b.iou_preds, res_b.stability, res_b.areas, res_b.valid, binm_dev)
-        )
+        small_b, packed_b = jax.device_get((small_dev, packed_dev))
+        boxes_b = small_b[..., 0:4]
+        iou_b = small_b[..., 4]
+        stab_b = small_b[..., 5]
+        areas_b = small_b[..., 6]
+        valid_b = small_b[..., 7] > 0.5
+        binm_b = np.unpackbits(packed_b, axis=-1, bitorder="little")
         def finish(i):
             logits_i = (
                 masks_host[i]

@@ -121,48 +121,73 @@ class PipelineExecutor:
         return self._batched_run
 
     def build_batched(self, n_pairs: int = 0, mesh=None):
-        """vmapped multi-pair stages: (B, ...) images/boxes/cls -> per-pair
-        results. Batching the pair axis amortizes both the per-dispatch
-        overhead and the small-matrix linalg that dominates single-pair
-        latency.
+        """The multi-pair retrieve->match->select->solve as ONE fused jitted
+        program. Batching the pair axis amortizes the per-dispatch overhead
+        and the small-matrix linalg that dominates single-pair latency; the
+        fusion collapses 4 stage dispatches (each a tunnel round trip on this
+        deployment) into one, and compiles in ~2.5 min once (persistent
+        cache). The SAM encoder stays out (including it blows the XLA
+        compile budget past 10 min, ROADMAP).
 
         mesh: optional jax.sharding.Mesh with a 'dp' axis — inputs are
         sharded over dp (the reference's only scalable axis is this pair
         loop, SURVEY §2.5 / BASELINE.json config #5); the SPMD partitioner
         replicates weights and splits every stage across chips. B must be
         divisible by mesh.shape['dp']."""
-        jrb = jax.jit(jax.vmap(self._retrieve_fn, in_axes=(None, 0, 0, 0, 0, 0)))
-        jmb = jax.jit(jax.vmap(self._match_fn, in_axes=(None, 0, 0)))
         models = self.models
-        retrieve_b = lambda *a: jrb(models.dinov2_variables, *a)
-        match_b = lambda *a: jmb(models.matcher_variables, *a)
-        solve_b = jax.jit(jax.vmap(self._solve_fn))
-        select_b = jax.jit(jax.vmap(self._select_fn))
 
-        def run(image0_b, image1_b, K0_b, K1_b, amg_boxes_b, amg_valid_b, ref_cls_b, keys):
-            top_idx, sim, crops, crop_Ks, boxes = retrieve_b(
-                image1_b, amg_boxes_b, amg_valid_b, K1_b, ref_cls_b
-            )
-            mkpts0, mkpts1, mconf, mvalid, n_strong, best = match_b(image0_b, crops)
-            pre_K, pre_bbox = select_b(crop_Ks, boxes, top_idx, best)
-            sol = solve_b(mkpts0, mkpts1, K0_b, pre_K, mvalid, keys)
-            return PairResult(
+        def run_fused(dv, mv, image0_b, image1_b, K0_b, K1_b, amg_boxes_b, amg_valid_b, ref_cls_b, keys):
+            top_idx, sim, crops, crop_Ks, boxes = jax.vmap(
+                self._retrieve_fn, in_axes=(None, 0, 0, 0, 0, 0)
+            )(dv, image1_b, amg_boxes_b, amg_valid_b, K1_b, ref_cls_b)
+            mkpts0, mkpts1, mconf, mvalid, n_strong, best = jax.vmap(
+                self._match_fn, in_axes=(None, 0, 0)
+            )(mv, image0_b, crops)
+            pre_K, pre_bbox = jax.vmap(self._select_fn)(crop_Ks, boxes, top_idx, best)
+            sol = jax.vmap(self._solve_fn)(mkpts0, mkpts1, K0_b, pre_K, mvalid, keys)
+            res = PairResult(
                 R=sol.R, t=sol.t, ok=sol.ok, pre_bbox=pre_bbox, pre_K=pre_K,
                 mkpts0=mkpts0, mkpts1=mkpts1, mconf=mconf, match_valid=mvalid,
                 n_strong=n_strong, sim_scores=sim,
             )
+            # d2h-friendly packing: the tunnel charges a ~40ms floor per
+            # fetched leaf, so the record consumers pull TWO arrays instead
+            # of nine (unpacked host-side by runner._unpack_records)
+            B = mkpts0.shape[0]
+            small = jnp.concatenate(
+                [
+                    sol.R.reshape(B, 9), sol.t,
+                    sol.ok.astype(jnp.float32)[:, None], pre_bbox,
+                    pre_K.reshape(B, 9),
+                    n_strong.astype(jnp.float32)[:, None],
+                ],
+                axis=-1,
+            )  # (B, 27)
+            matches = jnp.concatenate(
+                [mkpts0, mkpts1, mconf[..., None], mvalid.astype(jnp.float32)[..., None]],
+                axis=-1,
+            )  # (B, M, 6)
+            return res, small, matches
+
+        jrun = jax.jit(run_fused)
+
+        def run(*args, packed: bool = False):
+            res, small, matches = jrun(
+                models.dinov2_variables, models.matcher_variables, *args
+            )
+            return (small, matches) if packed else res
 
         if mesh is None:
             return run
 
-        def run_dp(*args):
+        def run_dp(*args, packed: bool = False):
             def put(x):
                 x = jnp.asarray(x)
                 spec = P(*(["dp"] + [None] * (x.ndim - 1)))
                 return jax.device_put(x, NamedSharding(mesh, spec))
 
             with mesh:
-                return run(*(put(a) for a in args))
+                return run(*(put(a) for a in args), packed=packed)
 
         return run_dp
 

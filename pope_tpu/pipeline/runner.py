@@ -229,17 +229,32 @@ def run_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None) -> List
     valid_b = jnp.asarray(np.stack([np.asarray(r.valid) for r in amg_results]))
 
     run = executor.batched()
-    res = run(
+    small, matches = run(
         dev["img0_u8"], dev["img1_u8"], dev["K0"], dev["K1"],
-        boxes_b, valid_b, ref_cls, keys,
+        boxes_b, valid_b, ref_cls, keys, packed=True,
     )
-    # one bulk device->host transfer for everything the records need
-    names = ("R", "t", "ok", "pre_bbox", "n_strong", "mkpts0", "mkpts1", "match_valid", "pre_K")
-    vals = jax.device_get(
-        (res.R, res.t, res.ok, res.pre_bbox, res.n_strong,
-         res.mkpts0, res.mkpts1, res.match_valid, res.pre_K)
-    )
+    # one bulk device->host transfer (two leaves) for everything the
+    # records need
+    small_b, matches_b = jax.device_get((small, matches))
     return [
-        _record(paths_list[i], hosts[i], {k: v[i] for k, v in zip(names, vals)})
+        _record(paths_list[i], hosts[i], _unpack_record(small_b[i], matches_b[i]))
         for i in range(B)
     ]
+
+
+def _unpack_record(small: np.ndarray, matches: np.ndarray) -> dict:
+    """Inverse of the fused runner's record packing (pose_pipeline
+    run_fused): small (27,) = R(9) t(3) ok(1) pre_bbox(4) pre_K(9)
+    n_strong(1); matches (M, 6) = mkpts0(2) mkpts1(2) mconf(1) valid(1)."""
+    return {
+        "R": small[0:9].reshape(3, 3),
+        "t": small[9:12],
+        "ok": small[12] > 0.5,
+        "pre_bbox": small[13:17],
+        "pre_K": small[17:26].reshape(3, 3),
+        "n_strong": small[26],
+        "mkpts0": matches[:, 0:2],
+        "mkpts1": matches[:, 2:4],
+        "mconf": matches[:, 4],
+        "match_valid": matches[:, 5] > 0.5,
+    }
