@@ -115,7 +115,8 @@ def main():
     from pope_tpu.eval.evaluate import evaluate_dataset
 
     BATCH = int(os.environ.get("POPE_BENCH_BATCH", "4"))
-    N_TIMED = 4 * BATCH
+    N_TIMED = 6 * BATCH  # 6 steady batches: the tunnel's upload bandwidth
+    # varies run to run; a longer window tightens the estimate
 
     models = build_models()
     with tempfile.TemporaryDirectory() as tmp:
