@@ -25,6 +25,7 @@ import numpy as np
 
 from pope_tpu.config import AMGConfig, SamConfig
 from pope_tpu.models.sam.sam import MASK_THRESHOLD, resize_longest_side
+from pope_tpu.ops.components import clean_mask
 from pope_tpu.ops.masks import batched_mask_to_box, build_point_grid, calculate_stability_score
 from pope_tpu.ops.nms import nms
 
@@ -156,6 +157,40 @@ class AutomaticMaskGenerator:
         )
         self._amg_full_jit = lambda imgs, **kw: _full_jit(self.variables, imgs, **kw)
 
+        def _amg_boxes(variables, images, in_h: int, in_w: int, orig_h: int, orig_w: int):
+            # the eval path's ENTIRE AMG as one program, small-region cleanup
+            # included: connected components run on device (ops/components),
+            # so candidate masks NEVER cross the tunnel — the only outputs
+            # are (B, C, 4) xywh boxes + (B, C) validity, and those stay on
+            # device to feed the fused retrieve->match->solve program.
+            embs = _encode(variables, images, in_h, in_w)
+            res = jax.vmap(
+                lambda e: self._generate_impl(
+                    variables, e[None], input_h=in_h, input_w=in_w,
+                    orig_h=orig_h, orig_w=orig_w,
+                )
+            )(embs)
+            if self.cfg.min_mask_region_area > 0:
+                boxes, valid = jax.vmap(
+                    lambda m, v: postprocess_small_regions_device(
+                        m, v, self.cfg.min_mask_region_area, (orig_h, orig_w),
+                        self.cfg.box_nms_thresh,
+                    )
+                )(res.masks_low_res > MASK_THRESHOLD, res.valid)
+            else:
+                boxes, valid = res.boxes, res.valid
+            xywh = jnp.stack(
+                [boxes[..., 0], boxes[..., 1],
+                 boxes[..., 2] - boxes[..., 0], boxes[..., 3] - boxes[..., 1]],
+                axis=-1,
+            )
+            return xywh, valid
+
+        _boxes_jit = jax.jit(
+            _amg_boxes, static_argnames=("in_h", "in_w", "orig_h", "orig_w")
+        )
+        self._amg_boxes_jit = lambda imgs, **kw: _boxes_jit(self.variables, imgs, **kw)
+
     # ---- device path ----
 
     def _generate_impl(self, variables, embeddings, input_h: int, input_w: int, orig_h: int, orig_w: int):
@@ -262,6 +297,24 @@ class AutomaticMaskGenerator:
             orig_w=int(orig_hw[1]),
         )
 
+    def generate_boxes_batch(self, images_rgb):
+        """Eval-path AMG: (B, H, W, 3) uint8 frames (host or device) ->
+        device ((B, C, 4) xywh boxes, (B, C) valid) in ONE dispatch —
+        encode + decode + filters + NMS + on-device small-region cleanup.
+        Nothing is fetched to host; the outputs feed the fused
+        retrieve->match->solve program directly."""
+        images = (
+            np.stack([np.asarray(im, np.uint8) for im in images_rgb])
+            if isinstance(images_rgb, (list, tuple))
+            else images_rgb
+        )
+        orig_h, orig_w = images.shape[1:3]
+        S = self.sam_cfg.encoder.img_size
+        in_h, in_w = resize_longest_side(orig_h, orig_w, S)
+        return self._amg_boxes_jit(
+            images, in_h=in_h, in_w=in_w, orig_h=orig_h, orig_w=orig_w
+        )
+
     # ---- host conveniences ----
 
     def generate(self, image_rgb: np.ndarray) -> AMGResult:
@@ -360,6 +413,32 @@ def _nms_host(boxes: np.ndarray, scores: np.ndarray, thresh: float, valid: np.nd
     if len(idx):
         keep[idx] = native.nms_cpu(boxes[idx], scores[idx], thresh)
     return keep
+
+
+def postprocess_small_regions_device(
+    binmasks, valid, min_area: int, orig_hw, box_nms_thresh: float = 0.35
+):
+    """On-device twin of postprocess_small_regions_host (jit/vmap-safe):
+    hole-fill + small-island removal via ops.components.clean_mask, box
+    recompute, NMS preferring untouched masks. Returns the eval path's only
+    AMG products — ((C, 4) xyxy boxes in original coords, (C,) valid) —
+    without any mask ever leaving the device.
+
+    binmasks: (C, low, low) bool; min_area in ORIGINAL-image pixels
+    (rescaled to low-res units exactly like the host path)."""
+    low = binmasks.shape[-1]
+    oh, ow = orig_hw
+    scale = (low * low) / float(oh * ow)
+    min_area_low = max(int(round(min_area * scale)), 1)
+    # invalid candidates are blanked so their (garbage) masks converge in one
+    # labelling sweep; their boxes/changed flags are never consumed
+    masks = binmasks & valid[:, None, None]
+    out_masks, changed = jax.vmap(lambda m: clean_mask(m, min_area_low))(masks)
+    boxes_low = batched_mask_to_box(out_masks)
+    boxes = boxes_low * jnp.asarray([ow, oh, ow, oh], jnp.float32) / low
+    scores = jnp.where(changed, 0.0, 1.0)
+    keep = nms(boxes, scores, box_nms_thresh, valid=valid)
+    return boxes, keep & valid
 
 
 def postprocess_small_regions_host(

@@ -175,10 +175,6 @@ def run_pair(models, paths, spec, key=None):
     return run_pairs(models, [paths], spec, keys=keys)[0]
 
 
-def _boxes_xywh_np(boxes_xyxy: np.ndarray) -> np.ndarray:
-    b = np.asarray(boxes_xyxy, np.float32)
-    return np.stack([b[:, 0], b[:, 1], b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], -1)
-
 
 def prepare_batch(paths_list):
     """Host side of one batch: decode files and START the uint8 uploads.
@@ -222,11 +218,12 @@ def run_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None) -> List
 
     executor = get_executor(models, spec.crop_size)
 
-    amg_results = models.amg.generate_batch(dev["img1_u8"])
+    # AMG (encode+decode+filters+NMS+small-region cleanup) runs as ONE
+    # device program whose outputs stay on device: no mask d2h, no host
+    # postprocess, no box re-upload. The three stage dispatches below
+    # pipeline asynchronously; the only host sync is the final device_get.
+    boxes_b, valid_b = models.amg.generate_boxes_batch(dev["img1_u8"])
     ref_cls = executor.prompt_cls_raw(dev["img0_u8"])  # (B, D)
-
-    boxes_b = jnp.asarray(np.stack([_boxes_xywh_np(r.boxes) for r in amg_results]))
-    valid_b = jnp.asarray(np.stack([np.asarray(r.valid) for r in amg_results]))
 
     run = executor.batched()
     small, matches = run(

@@ -109,3 +109,28 @@ def test_amg_records_format(amg, rng):
         from pope_tpu import native
 
         np.testing.assert_array_equal(native.rle_decode(r["rle"]), r["segmentation"])
+
+
+def test_generate_boxes_batch_matches_host_postproc(amg, rng):
+    """The all-device eval path (generate_boxes_batch: on-device connected
+    components + NMS) must agree with the host-postprocessed generate_batch
+    path on valid set and boxes."""
+    imgs = rng.uniform(0, 255, (2, 96, 128, 3)).astype(np.uint8)
+    cfg = AMGConfig(
+        points_per_side=4, pred_iou_thresh=-10.0, stability_score_thresh=0.0,
+        mask_capacity=16, min_mask_region_area=40,
+    )
+    gen = AutomaticMaskGenerator(amg.sam, amg.variables, cfg, TEST_CFG)
+
+    host_results = gen.generate_batch(imgs)
+    dev_xywh, dev_valid = gen.generate_boxes_batch(imgs)
+    dev_xywh, dev_valid = np.asarray(dev_xywh), np.asarray(dev_valid)
+
+    for i, r in enumerate(host_results):
+        host_valid = np.asarray(r.valid)
+        np.testing.assert_array_equal(dev_valid[i], host_valid, err_msg=f"img {i}")
+        if host_valid.any():
+            host_xywh = np.asarray(r.boxes_xywh)[host_valid]
+            np.testing.assert_allclose(
+                dev_xywh[i][host_valid], host_xywh, atol=1e-3, err_msg=f"img {i}"
+            )

@@ -134,3 +134,74 @@ def test_box_iou():
     assert abs(iou[0] - 1.0) < 1e-6
     assert abs(iou[1] - 25 / 175) < 1e-6
     assert iou[2] == 0.0
+
+
+# ---- on-device connected components (ops/components.py) ----
+
+class TestDeviceComponents:
+    def test_label_components_simple(self):
+        import jax.numpy as jnp
+        from pope_tpu.ops.components import label_components
+
+        m = np.zeros((8, 8), bool)
+        m[1:3, 1:3] = True      # component A, min idx 9
+        m[5:7, 5:8] = True      # component B, min idx 45
+        m[0, 7] = True          # diagonal-adjacent to nothing: own component
+        lab = np.asarray(label_components(jnp.asarray(m)))
+        assert lab[0, 7] == 7
+        assert (lab[1:3, 1:3] == 9).all()
+        assert (lab[5:7, 5:8] == 45).all()
+        assert (lab[~m] == 64).all()
+
+    def test_label_components_8_connectivity(self):
+        import jax.numpy as jnp
+        from pope_tpu.ops.components import label_components
+
+        # two pixels touching only diagonally must share a label
+        m = np.zeros((4, 4), bool)
+        m[0, 0] = m[1, 1] = True
+        lab = np.asarray(label_components(jnp.asarray(m)))
+        assert lab[0, 0] == lab[1, 1] == 0
+
+    def test_remove_small_regions_parity_with_native(self, rng):
+        """Device twin must match native.remove_small_regions (itself
+        cv2-parity-tested in test_native.py) on speckly random masks."""
+        import jax
+        import jax.numpy as jnp
+        from pope_tpu import native
+        from pope_tpu.ops.components import remove_small_regions
+
+        dev = jax.jit(remove_small_regions, static_argnames=("mode",))
+        for _ in range(4):
+            mask = rng.uniform(0, 1, (24, 24)) > 0.62
+            for thr in (2, 5, 30):
+                for mode in ("holes", "islands"):
+                    host_m, host_ch = native.remove_small_regions(mask, thr, mode)
+                    dev_m, dev_ch = dev(jnp.asarray(mask), thr, mode)
+                    np.testing.assert_array_equal(np.asarray(dev_m), host_m, err_msg=f"{mode} thr={thr}")
+                    assert bool(dev_ch) == host_ch
+
+    def test_islands_keeps_largest_when_all_small(self):
+        import jax.numpy as jnp
+        from pope_tpu.ops.components import remove_small_regions
+
+        m = np.zeros((16, 16), bool)
+        m[1:3, 1:3] = True   # area 4
+        m[10:12, 10:13] = True  # area 6 (largest)
+        out, changed = remove_small_regions(jnp.asarray(m), 100, "islands")
+        out = np.asarray(out)
+        assert bool(changed)
+        assert out[10:12, 10:13].all() and out.sum() == 6
+
+    def test_clean_mask_vmap_jit(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from pope_tpu import native
+        from pope_tpu.ops.components import clean_mask
+
+        masks = rng.uniform(0, 1, (6, 20, 20)) > 0.6
+        out, changed = jax.jit(jax.vmap(lambda m: clean_mask(m, 4)))(jnp.asarray(masks))
+        for i in range(len(masks)):
+            h, _ = native.remove_small_regions(masks[i], 4, "holes")
+            ref, _ = native.remove_small_regions(h, 4, "islands")
+            np.testing.assert_array_equal(np.asarray(out[i]), ref)
