@@ -163,6 +163,10 @@ class AMGConfig:
     # upscaling intermediates (~chunk x 32ch x 256^2 f32) so the pair axis can
     # batch without OOMing HBM; 0 disables chunking
     points_per_chunk: int = 64
+    # on-device small-region cleanup: max connected components processed per
+    # mask (raster-first, like cv2 label order); components beyond the cap
+    # are conservatively kept untouched
+    cc_max_components: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -174,7 +174,7 @@ class AutomaticMaskGenerator:
                 boxes, valid = jax.vmap(
                     lambda m, v: postprocess_small_regions_device(
                         m, v, self.cfg.min_mask_region_area, (orig_h, orig_w),
-                        self.cfg.box_nms_thresh,
+                        self.cfg.box_nms_thresh, k=self.cfg.cc_max_components,
                     )
                 )(res.masks_low_res > MASK_THRESHOLD, res.valid)
             else:
@@ -416,7 +416,8 @@ def _nms_host(boxes: np.ndarray, scores: np.ndarray, thresh: float, valid: np.nd
 
 
 def postprocess_small_regions_device(
-    binmasks, valid, min_area: int, orig_hw, box_nms_thresh: float = 0.35
+    binmasks, valid, min_area: int, orig_hw, box_nms_thresh: float = 0.35,
+    k: int = 64,
 ):
     """On-device twin of postprocess_small_regions_host (jit/vmap-safe):
     hole-fill + small-island removal via ops.components.clean_mask, box
@@ -433,7 +434,7 @@ def postprocess_small_regions_device(
     # invalid candidates are blanked so their (garbage) masks converge in one
     # labelling sweep; their boxes/changed flags are never consumed
     masks = binmasks & valid[:, None, None]
-    out_masks, changed = jax.vmap(lambda m: clean_mask(m, min_area_low))(masks)
+    out_masks, changed = jax.vmap(lambda m: clean_mask(m, min_area_low, k=k))(masks)
     boxes_low = batched_mask_to_box(out_masks)
     boxes = boxes_low * jnp.asarray([ow, oh, ow, oh], jnp.float32) / low
     scores = jnp.where(changed, 0.0, 1.0)

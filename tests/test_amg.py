@@ -116,9 +116,12 @@ def test_generate_boxes_batch_matches_host_postproc(amg, rng):
     components + NMS) must agree with the host-postprocessed generate_batch
     path on valid set and boxes."""
     imgs = rng.uniform(0, 255, (2, 96, 128, 3)).astype(np.uint8)
+    # untrained-SAM masks on noise are pure speckle (hundreds of components);
+    # raise the device component cap so the k-truncation documented in
+    # ops/components.py cannot kick in and the twin paths stay comparable
     cfg = AMGConfig(
         points_per_side=4, pred_iou_thresh=-10.0, stability_score_thresh=0.0,
-        mask_capacity=16, min_mask_region_area=40,
+        mask_capacity=16, min_mask_region_area=40, cc_max_components=2048,
     )
     gen = AutomaticMaskGenerator(amg.sam, amg.variables, cfg, TEST_CFG)
 
