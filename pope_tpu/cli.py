@@ -91,6 +91,12 @@ def cmd_test_regressor(args):
     test_main(args)
 
 
+def cmd_train_ssl(args):
+    from pope_tpu.train.ssl_driver import train_main
+
+    train_main(args)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="pope_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -152,6 +158,24 @@ def main(argv=None):
     pr.add_argument("--ckpt", required=True)
     pr.add_argument("--num-sample", type=int, default=500)
     pr.set_defaults(fn=cmd_test_regressor)
+
+    pssl = sub.add_parser(
+        "train-ssl", help="DINOv2 self-supervised pretraining (DINO+iBOT+KoLeo)"
+    )
+    pssl.add_argument("--image-root", required=True)
+    pssl.add_argument("--arch", default="vit_small",
+                      choices=["vit_small", "vit_base", "vit_large"])
+    pssl.add_argument("--global-crop-size", type=int, default=224)
+    pssl.add_argument("--local-crop-size", type=int, default=98)
+    pssl.add_argument("--n-local-crops", type=int, default=8)
+    pssl.add_argument("--batch-size", type=int, default=8)
+    pssl.add_argument("--total-steps", type=int, default=125000)
+    pssl.add_argument("--lr", type=float, default=4e-3)
+    pssl.add_argument("--dp", type=int, default=1, help="data-parallel mesh size")
+    pssl.add_argument("--ckpt-dir", default=None)
+    pssl.add_argument("--ckpt-every", type=int, default=1000)
+    pssl.add_argument("--seed", type=int, default=0)
+    pssl.set_defaults(fn=cmd_train_ssl)
 
     args = ap.parse_args(argv)
     return args.fn(args)

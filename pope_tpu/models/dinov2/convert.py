@@ -45,6 +45,10 @@ def convert_torch_dinov2_state(state_dict: Mapping[str, np.ndarray], depth: int 
     params: Dict = {}
     _set(params, "cls_token", sd["cls_token"])
     _set(params, "pos_embed", sd["pos_embed"])
+    if "mask_token" in sd:  # absent from some stripped eval checkpoints
+        _set(params, "mask_token", sd["mask_token"])
+    else:
+        _set(params, "mask_token", np.zeros_like(sd["cls_token"][0]))
     # patch embed conv: OIHW -> HWIO
     _set(params, "patch_embed/kernel", np.transpose(sd["patch_embed.proj.weight"], (2, 3, 1, 0)))
     _set(params, "patch_embed/bias", sd["patch_embed.proj.bias"])

@@ -100,7 +100,10 @@ class DinoVisionTransformer(nn.Module):
     config: DinoV2Config = DinoV2Config()
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, masks: Optional[jnp.ndarray] = None):
+        """`masks` (B, gh*gw) bool: replace masked patch embeddings with the
+        learnable mask token before pos-embed (iBOT student path,
+        vision_transformer.py:191-195)."""
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         B, H, W, _ = x.shape
@@ -112,6 +115,12 @@ class DinoVisionTransformer(nn.Module):
             name="patch_embed",
         )(x)
         x = x.reshape(B, gh * gw, cfg.embed_dim)
+
+        mask_token = self.param(
+            "mask_token", nn.initializers.zeros, (1, cfg.embed_dim)
+        )
+        if masks is not None:
+            x = jnp.where(masks[..., None], mask_token[None].astype(x.dtype), x)
 
         cls_token = self.param(
             "cls_token", nn.initializers.normal(1e-6), (1, 1, cfg.embed_dim)

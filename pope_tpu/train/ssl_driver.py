@@ -1,0 +1,178 @@
+"""SSL pretraining driver: image-folder dataset -> multi-crop loader ->
+jitted DINO+iBOT step, with auto-resume.
+
+Behavioral spec: dinov2/dinov2/train/train.py:133-242 (do_train: data
+loader with collate_data_and_cast, cosine schedules applied per step,
+periodic checkpointing with latest-checkpoint resume) without the SLURM /
+submitit / FSDPCheckpointer machinery (dinov2/run/, dinov2/fsdp/) — the
+mesh + orbax equivalents replace those.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from pope_tpu.data.loader import ThreadedLoader
+from pope_tpu.data.ssl_crops import (
+    DataAugmentationDINO,
+    MaskingGenerator,
+    MultiCropConfig,
+    collate_multicrop,
+)
+from pope_tpu.train.ssl import SSLConfig, SSLMetaArch, make_sharded_ssl_step
+from pope_tpu.config import DinoV2Config
+from pope_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from pope_tpu.utils.logging import get_logger
+
+logger = get_logger("pope_tpu.ssl")
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def iter_image_files(root: str):
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.lower().endswith(IMG_EXTS):
+                yield os.path.join(dirpath, f)
+
+
+def make_ssl_batches(image_root: str, cfg: SSLConfig, batch_size: int,
+                     seed: int = 0, num_workers: int = 4) -> Iterator[dict]:
+    """Endless epoch stream of collated multi-crop batches (host numpy)."""
+    import cv2
+
+    files = list(iter_image_files(image_root))
+    if not files:
+        raise FileNotFoundError(f"no images under {image_root}")
+    crop_cfg = MultiCropConfig(
+        global_crop_size=cfg.global_crop_size,
+        local_crop_size=cfg.local_crop_size,
+        n_local_crops=cfg.n_local_crops,
+    )
+    n_tokens_side = cfg.global_crop_size // 14
+
+    def epoch_iter():
+        rng = np.random.default_rng(seed)
+        aug = DataAugmentationDINO(crop_cfg, seed=seed)
+        gen = MaskingGenerator(input_size=n_tokens_side, seed=seed)
+        order = rng.permutation(len(files))
+        batch = []
+        for idx in order:
+            img = cv2.imread(files[idx], cv2.IMREAD_COLOR)
+            if img is None:
+                continue
+            batch.append(aug(img[..., ::-1]))  # BGR -> RGB
+            if len(batch) == batch_size:
+                yield collate_multicrop(
+                    batch, gen,
+                    mask_ratio=(cfg.mask_ratio_min, cfg.mask_ratio_max),
+                    mask_probability=cfg.mask_sample_probability,
+                    seed=int(rng.integers(1 << 31)),
+                )
+                batch = []
+
+    def forever():
+        while True:
+            yield from epoch_iter()
+
+    return iter(ThreadedLoader(forever, num_workers=num_workers))
+
+
+def train_ssl(image_root: str,
+              cfg: SSLConfig = SSLConfig(),
+              backbone_cfg: DinoV2Config = DinoV2Config(),
+              batch_size: int = 8,
+              total_steps: Optional[int] = None,
+              ckpt_dir: Optional[str] = None,
+              ckpt_every: int = 1000,
+              log_every: int = 10,
+              mesh=None,
+              seed: int = 0):
+    """Run SSL pretraining; returns the final SSLState."""
+    arch = SSLMetaArch(cfg, backbone_cfg)
+    state = arch.init_state(jax.random.PRNGKey(seed))
+    if ckpt_dir:
+        path = latest_checkpoint(ckpt_dir)
+        if path:
+            logger.info("resuming from %s", path)
+            state = load_checkpoint(path, like=state)
+    mults = arch.multipliers(state)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pope_tpu.train.ssl import shard_ssl_state
+
+        state = shard_ssl_state(state, mesh)
+        step_fn = make_sharded_ssl_step(arch, mesh, mults=mults)
+
+        def put(batch):
+            return {
+                k: jax.device_put(
+                    v, NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1))))
+                )
+                for k, v in batch.items()
+            }
+    else:
+        step_fn = jax.jit(lambda s, b: arch.train_step(s, b, mults=mults))
+        put = lambda batch: batch
+
+    total = total_steps if total_steps is not None else cfg.total_iters
+    batches = make_ssl_batches(image_root, cfg, batch_size, seed=seed)
+    t0 = time.time()
+    start = int(state.step)
+    for i in range(start, total):
+        state, metrics = step_fn(state, put(next(batches)))
+        if (i + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.info(
+                "step %d/%d loss=%.4f dino_g=%.4f dino_l=%.4f ibot=%.4f "
+                "koleo=%.4f lr=%.2e (%.2f s/it)",
+                i + 1, total, m["total_loss"], m["dino_global_crops_loss"],
+                m.get("dino_local_crops_loss", 0.0), m.get("ibot_loss", 0.0),
+                m.get("koleo_loss", 0.0), m["lr"], (time.time() - t0) / max(i + 1 - start, 1),
+            )
+        if ckpt_dir and (i + 1) % ckpt_every == 0:
+            save_checkpoint(os.path.join(ckpt_dir, f"step_{i + 1:08d}"), state)
+    if ckpt_dir:
+        save_checkpoint(os.path.join(ckpt_dir, f"step_{total:08d}"), state)
+    return state
+
+
+def train_main(args):
+    """CLI entry (`pope-tpu train-ssl`)."""
+    arch_sizes = {
+        "vit_small": dict(embed_dim=384, depth=12, num_heads=6),
+        "vit_base": dict(embed_dim=768, depth=12, num_heads=12),
+        "vit_large": dict(embed_dim=1024, depth=24, num_heads=16),
+    }
+    bcfg = DinoV2Config(patch_size=14, **arch_sizes[args.arch])
+    cfg = SSLConfig(
+        global_crop_size=args.global_crop_size,
+        local_crop_size=args.local_crop_size,
+        n_local_crops=args.n_local_crops,
+        total_iters=args.total_steps,
+        warmup_iters=max(args.total_steps // 10, 1),
+        warmup_teacher_temp_iters=max(args.total_steps // 4, 1),
+        freeze_last_layer_iters=max(args.total_steps // 100, 1),
+        lr=args.lr,
+    )
+    mesh = None
+    if args.dp > 1:
+        from pope_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.dp, tp=1)
+    train_ssl(
+        args.image_root, cfg, bcfg,
+        batch_size=args.batch_size,
+        total_steps=args.total_steps,
+        ckpt_dir=args.ckpt_dir,
+        ckpt_every=args.ckpt_every,
+        mesh=mesh,
+        seed=args.seed,
+    )

@@ -63,6 +63,32 @@ def test_dinov2_forward_parity(ref_model, rng):
     )
 
 
+def test_dinov2_masked_forward_parity(ref_model, rng):
+    """iBOT student path: masked patch embeddings replaced by the mask token
+    before pos-embed (vision_transformer.py:191-195)."""
+    ref, sd = ref_model
+    variables = convert_torch_dinov2_state(sd)
+    ours = DinoVisionTransformer(DinoV2Config(embed_dim=384, depth=12, num_heads=6))
+
+    # 518 input = the 37x37 pretrain grid: no pos-embed interpolation, so
+    # the comparison isolates the mask-token substitution itself
+    img = rng.uniform(-1, 1, (1, 518, 518, 3)).astype(np.float32)
+    n_tokens = (518 // 14) ** 2
+    masks = rng.uniform(size=(1, n_tokens)) < 0.3
+    with torch.no_grad():
+        out_ref = ref.forward_features(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)), masks=torch.from_numpy(masks)
+        )
+    out = ours.apply(variables, jnp.asarray(img), masks=jnp.asarray(masks))
+    ref_p = out_ref["x_norm_patchtokens"].numpy()
+    our_p = np.asarray(out["x_norm_patchtokens"])
+    cos = np.sum(ref_p * our_p, -1) / (
+        np.linalg.norm(ref_p, axis=-1) * np.linalg.norm(our_p, axis=-1)
+    )
+    assert float(cos.min()) > 0.9999, float(cos.min())
+    np.testing.assert_allclose(our_p, ref_p, atol=5e-2, rtol=1e-2)
+
+
 def test_dinov2_pos_embed_interpolation(ref_model, rng):
     """224-input path exercises bicubic pos-embed interpolation (16x16 grid
     vs the 37x37 pretrain grid)."""
