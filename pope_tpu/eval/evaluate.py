@@ -161,6 +161,7 @@ def evaluate_dataset(
     n = 0
 
     if batch_size:
+        pipelined = run_pairs is None  # custom runners sync batch-by-batch
         if run_pairs is None:
             from pope_tpu.pipeline.runner import run_pairs as _rp
 
@@ -181,6 +182,13 @@ def evaluate_dataset(
             if chunk:
                 yield (chunk, *prepare_batch(chunk))
 
+        # software-pipeline across batches when the default runner is used:
+        # batch N+1's device programs are queued before batch N's results are
+        # fetched, so the device stays busy through host record-building
+        if pipelined:
+            from pope_tpu.pipeline.runner import dispatch_pairs, finish_pairs
+
+        pending = None
         for chunk, hosts, dev in ThreadedLoader(gen_batches, prefetch=2):
             if max_pairs is not None and n >= max_pairs:
                 break
@@ -188,10 +196,18 @@ def evaluate_dataset(
                 chunk = chunk[: max_pairs - n]
                 hosts = hosts[: max_pairs - n]
                 dev = {k: v[: max_pairs - n] for k, v in dev.items()}
-            records.extend(run_pairs(models, chunk, spec, hosts=hosts, dev=dev))
+            if pipelined:
+                nxt = dispatch_pairs(models, chunk, spec, hosts=hosts, dev=dev)
+                if pending is not None:
+                    records.extend(finish_pairs(pending))
+                pending = nxt
+            else:
+                records.extend(run_pairs(models, chunk, spec, hosts=hosts, dev=dev))
             n += len(chunk)
             if progress and (n % 50 < batch_size):
                 print(f"[{dataset}] {n} pairs")
+        if pending is not None:
+            records.extend(finish_pairs(pending))
         return evaluate_pairs(records)
 
     if run_pair is None:

@@ -195,12 +195,49 @@ def prepare_batch(paths_list):
     return hosts, dev
 
 
+def dispatch_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None):
+    """Queue the whole device side of one batch WITHOUT syncing: returns a
+    pending handle for finish_pairs. All three stage dispatches are async,
+    so a caller can keep batch N+1's programs in the device queue while it
+    builds batch N's records (software pipelining across batches — the
+    device never idles on host record-building)."""
+    if hosts is None or dev is None:
+        hosts, dev = prepare_batch(paths_list)
+    keys = keys if keys is not None else dev["keys"]
+
+    executor = get_executor(models, spec.crop_size)
+
+    # AMG (encode+decode+filters+NMS+small-region cleanup) runs as ONE
+    # device program whose outputs stay on device: no mask d2h, no host
+    # postprocess, no box re-upload.
+    boxes_b, valid_b = models.amg.generate_boxes_batch(dev["img1_u8"])
+    ref_cls = executor.prompt_cls_raw(dev["img0_u8"])  # (B, D)
+
+    run = executor.batched()
+    small, matches = run(
+        dev["img0_u8"], dev["img1_u8"], dev["K0"], dev["K1"],
+        boxes_b, valid_b, ref_cls, keys, packed=True,
+    )
+    return (paths_list, hosts, small, matches)
+
+
+def finish_pairs(pending) -> List[dict]:
+    """Sync one dispatched batch (ONE bulk device->host transfer of two
+    leaves) and build its records."""
+    paths_list, hosts, small, matches = pending
+    small_b, matches_b = jax.device_get((small, matches))
+    return [
+        _record(paths_list[i], hosts[i], _unpack_record(small_b[i], matches_b[i]))
+        for i in range(len(paths_list))
+    ]
+
+
 def run_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None) -> List[dict]:
     """Batched production path over B manifest pairs (same image shapes):
 
       1 x batched SAM encode (resize fused) -> 1 x batched AMG decode
-      (+host postproc) -> 1 x batched prompt cls forward (preprocess fused)
-      -> 1 x each retrieve/match/solve.
+      -> 1 x batched prompt cls forward (preprocess fused)
+      -> 1 x fused retrieve/match/solve.
 
     Each frame uploads exactly once as uint8; all derived tensors (SAM
     resize, DINOv2 prompt crop, grayscale) are computed on device. Results
@@ -211,32 +248,9 @@ def run_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None) -> List
     from prepare_batch (lets a prefetch thread overlap IO + upload with
     device compute).
     """
-    B = len(paths_list)
-    if hosts is None or dev is None:
-        hosts, dev = prepare_batch(paths_list)
-    keys = keys if keys is not None else dev["keys"]
-
-    executor = get_executor(models, spec.crop_size)
-
-    # AMG (encode+decode+filters+NMS+small-region cleanup) runs as ONE
-    # device program whose outputs stay on device: no mask d2h, no host
-    # postprocess, no box re-upload. The three stage dispatches below
-    # pipeline asynchronously; the only host sync is the final device_get.
-    boxes_b, valid_b = models.amg.generate_boxes_batch(dev["img1_u8"])
-    ref_cls = executor.prompt_cls_raw(dev["img0_u8"])  # (B, D)
-
-    run = executor.batched()
-    small, matches = run(
-        dev["img0_u8"], dev["img1_u8"], dev["K0"], dev["K1"],
-        boxes_b, valid_b, ref_cls, keys, packed=True,
+    return finish_pairs(
+        dispatch_pairs(models, paths_list, spec, keys=keys, hosts=hosts, dev=dev)
     )
-    # one bulk device->host transfer (two leaves) for everything the
-    # records need
-    small_b, matches_b = jax.device_get((small, matches))
-    return [
-        _record(paths_list[i], hosts[i], _unpack_record(small_b[i], matches_b[i]))
-        for i in range(B)
-    ]
 
 
 def _unpack_record(small: np.ndarray, matches: np.ndarray) -> dict:
