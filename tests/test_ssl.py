@@ -314,3 +314,54 @@ def test_ssl_sharded_step_matches_single(rng):
     np.testing.assert_allclose(
         float(m_sharded["koleo_loss"]), float(m_single["koleo_loss"]), rtol=0.05
     )
+
+
+def test_knn_and_linear_probe(rng):
+    """SSL eval protocols on synthetic class blobs: knn voting semantics
+    (incl. parity with the reference's softmax(sims/T) weighted vote) and
+    linear-probe convergence."""
+    from pope_tpu.train.ssl_eval import (
+        knn_accuracy, knn_classify, linear_probe_accuracy, train_linear_probe,
+    )
+
+    D, C, n_per = 16, 3, 40
+    centers = rng.standard_normal((C, D)).astype(np.float32) * 3
+    feats, labels = [], []
+    for c in range(C):
+        feats.append(centers[c] + 0.5 * rng.standard_normal((n_per, D)).astype(np.float32))
+        labels.append(np.full(n_per, c))
+    feats = np.concatenate(feats)
+    labels = np.concatenate(labels)
+    feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+    perm = rng.permutation(len(feats))
+    tr, te = perm[:90], perm[90:]
+
+    accs = knn_accuracy(
+        jnp.asarray(feats[tr]), jnp.asarray(labels[tr]),
+        jnp.asarray(feats[te]), jnp.asarray(labels[te]), nb_knn=(5, 10),
+    )
+    assert accs[5] > 0.9 and accs[10] > 0.9, accs
+
+    # reference vote semantics on a micro case: softmax(sims/T)-weighted
+    # one-hot sums over the top-k
+    probas = knn_classify(
+        jnp.asarray(feats[tr]), jnp.asarray(labels[tr]), jnp.asarray(feats[te[:4]]),
+        nb_knn=(5,), T=0.07, num_classes=C,
+    )[5]
+    sims = feats[te[:4]] @ feats[tr].T
+    top = np.argsort(-sims, axis=1)[:, :5]
+    w = np.exp(np.take_along_axis(sims, top, 1) / 0.07)
+    w = w / w.sum(1, keepdims=True)
+    expect = np.zeros((4, C))
+    for i in range(4):
+        for j in range(5):
+            expect[i, labels[tr][top[i, j]]] += w[i, j]
+    np.testing.assert_allclose(np.asarray(probas), expect, atol=1e-4)
+
+    params, losses = train_linear_probe(
+        jnp.asarray(feats[tr]), jnp.asarray(labels[tr]), num_classes=C,
+        steps=300, batch_size=64,
+    )
+    assert losses[-1] < losses[0] * 0.5
+    acc = linear_probe_accuracy(params, jnp.asarray(feats[te]), jnp.asarray(labels[te]))
+    assert acc > 0.9, acc
