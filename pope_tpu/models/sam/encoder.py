@@ -113,6 +113,10 @@ class EncoderBlock(nn.Module):
         d = C // nh
         shortcut = x
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        # the qkv Dense computes in self.dtype anyway; casting BEFORE the
+        # window partition keeps the pad/reshape/transpose chain in bf16
+        # (half the HBM traffic of shuffling the f32 LayerNorm output)
+        h = h.astype(self.dtype)
 
         ws = self.window_size
         if ws > 0:
