@@ -23,8 +23,7 @@ from tests.test_sam_parity import TEST_CFG as SAM_TEST_CFG
 from tests.torch_ref import load_reference_sam
 
 
-@pytest.fixture(scope="module")
-def tiny_models():
+def _build_tiny_models(coarse_cfg=None):
     _, sd = load_reference_sam(seed=2, size="test")
     sam_vars = convert_torch_sam_state(sd, depth=4)
     sam = Sam(SAM_TEST_CFG)
@@ -33,7 +32,9 @@ def tiny_models():
     dinov2 = DinoVisionTransformer(dcfg)
     d_vars = dinov2.init(jax.random.PRNGKey(0), np.zeros((1, 196, 196, 3), np.float32))
 
-    mcfg = MatcherConfig(match_coarse=CoarseMatchConfig(match_capacity=128))
+    mcfg = MatcherConfig(
+        match_coarse=coarse_cfg or CoarseMatchConfig(match_capacity=128)
+    )
     matcher = Matcher(mcfg)
     m_vars = matcher.init(
         jax.random.PRNGKey(1), np.zeros((1, 64, 64, 1), np.float32), np.zeros((1, 64, 64, 1), np.float32)
@@ -49,6 +50,11 @@ def tiny_models():
         matcher=matcher, matcher_variables=m_vars,
         amg=amg, config=cfg,
     )
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    return _build_tiny_models()
 
 
 @pytest.fixture(scope="module")
@@ -204,3 +210,46 @@ def test_batched_pairs_dp_sharded(tiny_models, rng):
     np.testing.assert_allclose(np.asarray(res.R), np.asarray(base.R), atol=1e-5)
     np.testing.assert_allclose(np.asarray(res.mkpts1), np.asarray(base.mkpts1), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(res.ok), np.asarray(base.ok))
+
+
+def test_extract_to_regressor_integration(tiny_models, mini_dataset, tmp_path, capsys):
+    """The full dump chain: eval-pipeline extraction (linemod.py dump layout)
+    -> load_pose_dataset -> regressor training driver. Catches format drift
+    between the extractor and the trainer that unit tests can't see."""
+    import argparse
+
+    from pope_tpu.eval.extract import extract_pair
+    from pope_tpu.eval.manifest import DATASETS, iter_pairs, load_manifest
+    from pope_tpu.models.regressor.data import load_pose_dataset
+    from pope_tpu.models.regressor.driver import train_main
+
+    data_root, pairs_dir = mini_dataset
+    spec = DATASETS["linemod"]
+    manifest = load_manifest(pairs_dir, spec)
+    out_dir = tmp_path / "dumps"
+    # an UNTRAINED tiny matcher rarely clears the production dual-softmax
+    # threshold; drop it so the dump chain is exercised (the reference's
+    # extractors run a trained matcher)
+    models = _build_tiny_models(
+        CoarseMatchConfig(match_capacity=128, thr=0.0, border_rm=0)
+    )
+    written = 0
+    for paths in iter_pairs(data_root, spec, manifest):
+        written += int(extract_pair(models, paths, spec, str(out_dir)))
+    assert written > 0, "no pair produced >=5 matches"
+
+    data = load_pose_dataset("linemod", data_root, pairs_dir, str(out_dir))
+    assert len(data) == written
+    for item in data:
+        assert item["mkpts0"].shape == item["mkpts1"].shape
+        assert item["img1"].shape == (224, 224, 3)
+
+    args = argparse.Namespace(
+        dataset="linemod", data_root=data_root, pairs_dir=pairs_dir,
+        points_dir=str(out_dir), net_mode="mkpts", rotation_mode="6d",
+        num_sample=32, epochs=2, ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    state = train_main(args)
+    assert int(state.step) > 0
+    out = capsys.readouterr().out
+    assert "epoch 1" in out
