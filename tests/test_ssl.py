@@ -281,6 +281,29 @@ def test_ssl_driver_smoke(tmp_path, rng):
     assert int(state2.step) == 3
 
 
+def test_ssl_driver_dp_mesh(tmp_path, rng):
+    """train_ssl with a dp mesh (the `cli train-ssl --dp 8` path): sharded
+    batches + FSDP-sharded state through the driver loop."""
+    import cv2
+
+    from pope_tpu.parallel import make_mesh
+    from pope_tpu.train.ssl_driver import train_ssl
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(4):
+        cv2.imwrite(
+            str(img_dir / f"{i}.png"),
+            rng.uniform(0, 255, (64, 72, 3)).astype(np.uint8),
+        )
+    arch = _tiny_arch()
+    state = train_ssl(
+        str(img_dir), arch.cfg, arch.backbone_cfg, batch_size=4,
+        total_steps=2, log_every=1, mesh=make_mesh(8, tp=1),
+    )
+    assert int(state.step) == 2
+
+
 def test_ssl_sharded_step_matches_single(rng):
     from pope_tpu.parallel import make_mesh
 
