@@ -209,3 +209,29 @@ def test_sharded_train_step_8dev(rng):
         new_state, metrics = step(state, sharded_batch)
         jax.block_until_ready(new_state.params)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sam_encoder_tp_sharded_inference(rng):
+    """Tensor-parallel INFERENCE of the SAM encoder over a (dp, tp) mesh:
+    tp-sharded kernels + dp-sharded image batch reproduce the single-device
+    embeddings (the SPMD partitioner inserts the collectives). Latency
+    scaling axis the reference's 2-GPU placement cannot express."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pope_tpu.models.sam.encoder import ImageEncoderViT
+    from pope_tpu.parallel import make_mesh, shard_params_tp
+    from tests.test_sam_parity import TEST_CFG
+
+    enc = ImageEncoderViT(TEST_CFG.encoder)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (4, 256, 256, 3)).astype(np.float32))
+    variables = jax.jit(enc.init)(jax.random.PRNGKey(0), imgs)
+    ref = jax.jit(enc.apply)(variables, imgs)
+
+    mesh = make_mesh(8, tp=2)  # dp=4, tp=2
+    with mesh:
+        vs = {"params": shard_params_tp(mesh, variables["params"], min_size=256)}
+        x = jax.device_put(imgs, NamedSharding(mesh, P("dp")))
+        out = jax.jit(enc.apply)(vs, x)
+        jax.block_until_ready(out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
