@@ -66,7 +66,8 @@ class PipelineExecutor:
 
         def solve(mkpts0, mkpts1, K0, pre_K, valid, key):
             return estimate_pose_ransac(
-                mkpts0, mkpts1, K0, pre_K, valid, key, thresh_px=cfg.ransac_thresh_px
+                mkpts0, mkpts1, K0, pre_K, valid, key,
+                thresh_px=cfg.ransac_thresh_px, n_rounds=cfg.ransac_rounds,
             )
 
         def select_best(crop_Ks, boxes, top_idx, best):
@@ -337,7 +338,8 @@ def estimate_pair(
     pre_bbox = boxes[top_idx[best]]
 
     sol = estimate_pose_ransac(
-        mkpts0, mkpts1, K0, pre_K, mvalid, key, thresh_px=cfg.ransac_thresh_px
+        mkpts0, mkpts1, K0, pre_K, mvalid, key,
+        thresh_px=cfg.ransac_thresh_px, n_rounds=cfg.ransac_rounds,
     )
     return PairResult(
         R=sol.R,

@@ -303,7 +303,7 @@ def estimate_pose_ransac(
     n_hyps: int = 2048,
     sample_size: int = 8,
     refit_iters: int = 1,
-    n_rounds: int = 6,
+    n_rounds: int = 3,
 ) -> RansacResult:
     """Parallel-hypothesis essential-matrix RANSAC.
 
@@ -316,6 +316,11 @@ def estimate_pose_ransac(
         like the reference (metrics.py:76-77).
       n_hyps: hypotheses scored in parallel (the fixed-budget analogue of
         cv2's confidence-driven iteration count).
+      n_rounds: guided-resampling rounds. Measured on the synthetic
+        cv2-benchmark data (250 pts, 1px noise, 30% outliers, 12 trials):
+        3 rounds R med 0.81deg / 6 rounds 0.71deg with mixed worst-cases —
+        statistically indistinguishable — while solve time halves (97 ->
+        ~50 ms per 4-pair batch on a v5e), so 3 is the default.
     Returns:
       RansacResult; `ok` is False when fewer than `sample_size` valid matches.
     """
