@@ -172,11 +172,12 @@ class AutomaticMaskGenerator:
             )(embs)
             if self.cfg.min_mask_region_area > 0:
                 boxes, valid = jax.vmap(
-                    lambda m, v: postprocess_small_regions_device(
+                    lambda m, v, b: postprocess_small_regions_device(
                         m, v, self.cfg.min_mask_region_area, (orig_h, orig_w),
                         self.cfg.box_nms_thresh, k=self.cfg.cc_max_components,
+                        orig_boxes=b,
                     )
-                )(res.masks_low_res > MASK_THRESHOLD, res.valid)
+                )(res.masks_low_res > MASK_THRESHOLD, res.valid, res.boxes)
             else:
                 boxes, valid = res.boxes, res.valid
             xywh = jnp.stack(
@@ -417,7 +418,7 @@ def _nms_host(boxes: np.ndarray, scores: np.ndarray, thresh: float, valid: np.nd
 
 def postprocess_small_regions_device(
     binmasks, valid, min_area: int, orig_hw, box_nms_thresh: float = 0.35,
-    k: int = 64,
+    k: int = 64, orig_boxes=None,
 ):
     """On-device twin of postprocess_small_regions_host (jit/vmap-safe):
     hole-fill + small-island removal via ops.components.clean_mask, box
@@ -437,6 +438,13 @@ def postprocess_small_regions_device(
     out_masks, changed = jax.vmap(lambda m: clean_mask(m, min_area_low, k=k))(masks)
     boxes_low = batched_mask_to_box(out_masks)
     boxes = boxes_low * jnp.asarray([ow, oh, ow, oh], jnp.float32) / low
+    if orig_boxes is not None:
+        # Keep the full-resolution original boxes for untouched masks: only
+        # masks actually changed by hole-fill/island-removal get the
+        # recomputed (low-res-quantized) box — matching the host twin and
+        # automatic_mask_generator.py:354-366, which recompute boxes only
+        # for changed masks.
+        boxes = jnp.where(changed[:, None], boxes, orig_boxes)
     scores = jnp.where(changed, 0.0, 1.0)
     keep = nms(boxes, scores, box_nms_thresh, valid=valid)
     return boxes, keep & valid

@@ -174,10 +174,19 @@ def sinkhorn_knopp_teacher(logits, teacher_temp, n_iterations: int = 3,
         n_samples = jnp.sum(sample_weight)
     else:
         n_samples = jnp.asarray(B, jnp.float32)
-    Q = Q / jnp.sum(Q)
+    # Zero-weight columns (padding / unmasked samples in the dense iBOT
+    # path) give 0/0 in the column normalization and the NaN poisons all of
+    # Q. Guard EXACT zeros only (divide the zero row/column by 1 so it
+    # stays zero): genuinely tiny-but-nonzero sums must still divide
+    # through, or f32-underflowed prototype rows lose parity with the
+    # reference sinkhorn.
+    def _safe(x):
+        return jnp.where(x == 0.0, 1.0, x)
+
+    Q = Q / _safe(jnp.sum(Q))
     for _ in range(n_iterations):
-        Q = Q / (jnp.sum(Q, axis=1, keepdims=True) * K)
-        Q = Q / (jnp.sum(Q, axis=0, keepdims=True) * n_samples)
+        Q = Q / _safe(jnp.sum(Q, axis=1, keepdims=True) * K)
+        Q = Q / _safe(jnp.sum(Q, axis=0, keepdims=True) * n_samples)
     return (Q * n_samples).T
 
 
@@ -188,13 +197,14 @@ def dino_cross_entropy(student_logits, teacher_probs, student_temp: float = 0.1)
     return -jnp.mean(jnp.sum(teacher_probs * lsm, axis=-1))
 
 
-def ibot_patch_loss_dense(student_patch_logits, teacher_patch_probs, masks):
+def ibot_patch_loss_dense(student_patch_logits, teacher_patch_probs, masks,
+                          student_temp: float = 0.1):
     """Masked patch CE, dense: every (b, patch) term is weighted
     mask / n_masked(b) and the sum is divided by B — exactly
     `forward_masked` with collate.py:40's masks_weight, without the
     dynamic-length gather. masks: (B, N) bool."""
     lsm = jax.nn.log_softmax(
-        student_patch_logits.astype(jnp.float32) / 0.1, axis=-1
+        student_patch_logits.astype(jnp.float32) / student_temp, axis=-1
     )
     per_tok = jnp.sum(teacher_patch_probs * lsm, axis=-1)  # (B, N)
     w = masks.astype(jnp.float32)
@@ -460,7 +470,8 @@ class SSLMetaArch:
                 else (student["dino_head"], self.dino_head)
             )
             patch_logits = head.apply({"params": head_p}, g_out["x_norm_patchtokens"])
-            ibot = ibot_patch_loss_dense(patch_logits, ibot_probs, masks)
+            ibot = ibot_patch_loss_dense(patch_logits, ibot_probs, masks,
+                                         cfg.student_temp)
             # * 2 (loss_scales) * 1/2 (ibot_loss_scale = 1/n_global_crops)
             losses["ibot_loss"] = ibot / 2.0
             total += cfg.ibot_loss_weight * ibot

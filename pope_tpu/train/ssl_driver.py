@@ -56,10 +56,15 @@ def make_ssl_batches(image_root: str, cfg: SSLConfig, batch_size: int,
     )
     n_tokens_side = cfg.global_crop_size // 14
 
-    def epoch_iter():
-        rng = np.random.default_rng(seed)
-        aug = DataAugmentationDINO(crop_cfg, seed=seed)
-        gen = MaskingGenerator(input_size=n_tokens_side, seed=seed)
+    def epoch_iter(epoch: int):
+        # Per-epoch derived seeds: the shuffle order, crop/jitter/blur
+        # stream and iBOT masks must all advance across epochs (the
+        # reference reseeds per step via its dataloader workers) — a fixed
+        # seed here would replay identical augmentations every epoch.
+        es = seed + 1_000_003 * epoch
+        rng = np.random.default_rng(es)
+        aug = DataAugmentationDINO(crop_cfg, seed=es)
+        gen = MaskingGenerator(input_size=n_tokens_side, seed=es)
         order = rng.permutation(len(files))
         batch = []
         for idx in order:
@@ -77,8 +82,10 @@ def make_ssl_batches(image_root: str, cfg: SSLConfig, batch_size: int,
                 batch = []
 
     def forever():
+        epoch = 0
         while True:
-            yield from epoch_iter()
+            yield from epoch_iter(epoch)
+            epoch += 1
 
     return iter(ThreadedLoader(forever, num_workers=num_workers))
 

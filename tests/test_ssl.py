@@ -84,6 +84,26 @@ def test_sinkhorn_knopp_parity(rng):
     np.testing.assert_allclose(np.asarray(q), q_ref.numpy(), atol=1e-5)
 
 
+def test_sinkhorn_zero_weight_columns_finite(rng):
+    """Zero-weight columns (padding / fully-unmasked samples on the dense
+    iBOT path) must not poison Q with NaN (advisor round-2 finding): zeroed
+    columns stay zero, real columns still form a balanced assignment."""
+    K, B = 16, 8
+    t_logits = rng.standard_normal((B, K)).astype(np.float32)
+    w = np.ones(B, np.float32)
+    w[[0, 3, 7]] = 0.0
+    q = np.asarray(sinkhorn_knopp_teacher(jnp.asarray(t_logits), 0.07, 3,
+                                          sample_weight=jnp.asarray(w)))
+    assert np.all(np.isfinite(q))
+    np.testing.assert_allclose(q[w == 0.0], 0.0, atol=1e-12)
+    # real rows are probability-like after the final *n_samples rescale
+    np.testing.assert_allclose(q[w == 1.0].sum(), w.sum(), rtol=1e-3)
+    # all-zero weights: degenerate but still finite
+    q0 = np.asarray(sinkhorn_knopp_teacher(jnp.asarray(t_logits), 0.07, 3,
+                                           sample_weight=jnp.zeros(B)))
+    assert np.all(np.isfinite(q0))
+
+
 def test_ibot_dense_equals_reference_masked(rng):
     _, iBOTPatchLoss, _ = _ref_losses()
     B, N, K = 4, 12, 16
@@ -279,6 +299,32 @@ def test_ssl_driver_smoke(tmp_path, rng):
         total_steps=3, ckpt_dir=str(ckpt), ckpt_every=10, log_every=1,
     )
     assert int(state2.step) == 3
+
+
+def test_ssl_batches_advance_across_epochs(tmp_path, rng):
+    """Augmentation/mask streams must differ between epochs (advisor
+    round-2 finding: a fixed per-epoch seed replayed identical crops)."""
+    import cv2
+
+    from pope_tpu.train.ssl import SSLConfig
+    from pope_tpu.train.ssl_driver import make_ssl_batches
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        cv2.imwrite(
+            str(img_dir / f"{i}.png"),
+            rng.uniform(0, 255, (80, 96, 3)).astype(np.uint8),
+        )
+    cfg = SSLConfig(global_crop_size=56, local_crop_size=14, n_local_crops=2,
+                    mask_ratio_min=0.4, mask_ratio_max=0.6,
+                    mask_sample_probability=1.0)
+    # batch_size == n_images => one batch per epoch; batch 2 is epoch 1
+    it = make_ssl_batches(str(img_dir), cfg, batch_size=2, seed=0,
+                          num_workers=1)
+    b0, b1 = next(it), next(it)
+    assert not np.allclose(b0["global_crops"], b1["global_crops"])
+    assert not np.array_equal(b0["masks"], b1["masks"])
 
 
 def test_ssl_driver_dp_mesh(tmp_path, rng):
