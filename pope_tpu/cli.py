@@ -73,6 +73,58 @@ def cmd_demo_sam(args):
     print(f"wrote {args.out}")
 
 
+def cmd_demo_3dbbox(args):
+    """visual_3dbbox.py: one (prompt, target) pair -> query_result.png +
+    3D_BBox.png. K0/K1/bbox default to the reference's hardcoded demo
+    values (visual_3dbbox.py:19-41); poses load from prompt.txt/target.txt
+    beside the images (:119-120)."""
+    import os
+
+    import numpy as np
+
+    from pope_tpu.pipeline import load_models
+    from pope_tpu.pipeline.demos import demo_3dbbox
+
+    K0 = (
+        np.loadtxt(args.k0) if args.k0 else np.array(
+            [[2442.28864, 0.0, 449.114027],
+             [0.0, 2447.23383, -110.724309],
+             [0.0, 0.0, 1.0]]
+        )
+    )
+    K1 = (
+        np.loadtxt(args.k1) if args.k1 else np.array(
+            [[572.4114, 0.0, 325.2611],
+             [0.0, 573.57043, 242.04899],
+             [0.0, 0.0, 1.0]]
+        )
+    )
+    if args.box3d:
+        corners = np.loadtxt(args.box3d)
+    else:
+        x, y, z = 0.03793430, 0.03879960, 0.04588450
+        corners = np.array(
+            [[-x, -y, -z], [-x, -y, z], [-x, y, z], [-x, y, -z],
+             [x, -y, -z], [x, -y, z], [x, y, z], [x, y, -z]]
+        )
+    d = os.path.dirname(args.prompt)
+    prompt_pose = np.loadtxt(args.prompt_pose or os.path.join(d, "prompt.txt"))
+    tgt_path = args.target_pose or os.path.join(d, "target.txt")
+    target_pose = np.loadtxt(tgt_path) if os.path.exists(tgt_path) else None
+
+    models = load_models(
+        sam_checkpoint=args.sam_checkpoint,
+        sam_type=args.sam_type,
+        dinov2_checkpoint=args.dinov2_checkpoint,
+        matcher_checkpoint=args.matcher_checkpoint,
+    )
+    demo_3dbbox(
+        models, args.prompt, args.target, K0, K1, prompt_pose, corners,
+        target_pose=target_pose, out_query=args.out_query, out_bbox=args.out_bbox,
+    )
+    print(f"wrote {args.out_query} and {args.out_bbox}")
+
+
 def cmd_extract(args):
     from pope_tpu.eval.extract import extract_dataset
 
@@ -128,6 +180,19 @@ def main(argv=None):
     ps.add_argument("--out", default="LINEMOD_mask.png")
     _add_model_args(ps)
     ps.set_defaults(fn=cmd_demo_sam)
+
+    pb = sub.add_parser("demo-3dbbox", help="single-pair pipeline + 3-D bbox render")
+    pb.add_argument("--prompt", required=True, help="prompt image path")
+    pb.add_argument("--target", required=True, help="target image path")
+    pb.add_argument("--k0", default=None, help="prompt intrinsics txt (default: reference demo K0)")
+    pb.add_argument("--k1", default=None, help="target intrinsics txt (default: reference demo K1)")
+    pb.add_argument("--box3d", default=None, help="8x3 bbox corners txt (default: reference demo extents)")
+    pb.add_argument("--prompt-pose", default=None, help="prompt pose txt (default: prompt.txt beside --prompt)")
+    pb.add_argument("--target-pose", default=None, help="target pose txt (default: target.txt beside --prompt)")
+    pb.add_argument("--out-query", default="query_result.png")
+    pb.add_argument("--out-bbox", default="3D_BBox.png")
+    _add_model_args(pb)
+    pb.set_defaults(fn=cmd_demo_3dbbox)
 
     px = sub.add_parser("extract", help="dump mkpts/crops for regressor training")
     px.add_argument("--dataset", required=True, choices=["linemod", "onepose", "onepose_plusplus", "ycbv"])

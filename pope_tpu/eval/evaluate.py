@@ -33,9 +33,14 @@ def evaluate_pairs(
         obj = rec["object"]
         m = per_obj.setdefault(
             obj,
-            {"R_errs": [], "t_errs": [], "epi_errs": [], "identifiers": [], "recalled": 0, "total": 0},
+            {"R_errs": [], "t_errs": [], "epi_errs": [], "identifiers": [], "recalled": 0, "total": 0,
+             "dropped_masks": 0, "dropped_matches": 0},
         )
         m["total"] += 1
+        # capacity-saturation telemetry: totals of candidates/matches the
+        # static capacities truncated ("no silent caps")
+        m["dropped_masks"] += int(rec.get("n_dropped_masks") or 0)
+        m["dropped_matches"] += int(rec.get("n_dropped_matches") or 0)
         if rec.get("epi_errs") is not None:
             m["epi_errs"].append(np.asarray(rec["epi_errs"]))
         if rec.get("pre_bbox") is not None and rec.get("gt_bbox") is not None:
@@ -53,6 +58,10 @@ def evaluate_pairs(
     for obj, m in per_obj.items():
         agg = aggregate_metrics(m)
         agg["AP50"] = m["recalled"] / max(m["total"], 1)
+        # mean truncation per pair; 0.0 everywhere unless a capacity
+        # saturated, in which case the table/xlsx make it visible
+        agg["maskDrop"] = m["dropped_masks"] / max(m["total"], 1)
+        agg["matchDrop"] = m["dropped_matches"] / max(m["total"], 1)
         out[obj] = agg
     return out
 

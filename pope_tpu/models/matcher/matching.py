@@ -23,6 +23,10 @@ class CoarseMatches(NamedTuple):
     j_ids: jnp.ndarray  # (B, M) coarse cell index in image1 grid
     mconf: jnp.ndarray  # (B, M) confidence, 0 for padded slots
     valid: jnp.ndarray  # (B, M) bool
+    # (B,) count of true mutual-NN matches the static capacity truncated
+    # ("no silent caps": the reference has no cap, so saturation must be
+    # observable in eval records rather than silently dropping matches)
+    n_dropped: jnp.ndarray = None
 
 
 def dual_softmax_confidence(feat_c0, feat_c1, temperature: float = 0.1):
@@ -85,7 +89,11 @@ def coarse_matching(
     j_ids = jnp.take_along_axis(j_star, i_ids, axis=1)
     valid = top_conf > 0.0
     mconf = jnp.where(valid, top_conf, 0.0)
-    return CoarseMatches(i_ids=i_ids, j_ids=j_ids, mconf=mconf, valid=valid)
+    # capacity-saturation telemetry: true matches minus kept matches
+    n_true = jnp.sum(score > 0.0, axis=1)
+    n_dropped = n_true - jnp.sum(valid, axis=1)
+    return CoarseMatches(i_ids=i_ids, j_ids=j_ids, mconf=mconf, valid=valid,
+                         n_dropped=n_dropped)
 
 
 def sinkhorn_confidence(feat_c0, feat_c1, bin_score, iters: int = 3, prefilter: bool = True):
@@ -183,6 +191,7 @@ def gt_pad_matches(cm: CoarseMatches, gt_valid, gt_j_of_i, gt_min: int, key=None
         j_ids=jnp.where(use_gt, gj, cm.j_ids),
         mconf=jnp.where(use_gt, 0.0, cm.mconf),
         valid=jnp.where(use_gt, gv, cm.valid),
+        n_dropped=cm.n_dropped,
     )
 
 

@@ -38,6 +38,8 @@ class MatchResult(NamedTuple):
     mconf: jnp.ndarray  # (B, M) confidence; 0 on padded slots
     valid: jnp.ndarray  # (B, M) bool
     expec_f: jnp.ndarray  # (B, M, 3) normalized fine coords + heatmap std
+    # (B,) true matches truncated by the static match_capacity (telemetry)
+    n_dropped: Optional[jnp.ndarray] = None
     conf_matrix: Optional[jnp.ndarray] = None  # (B, L, S) when return_aux
     i_ids: Optional[jnp.ndarray] = None  # (B, M) coarse ids the fine stage used
     j_ids: Optional[jnp.ndarray] = None  # (B, M)
@@ -202,6 +204,7 @@ class Matcher(nn.Module):
             mconf=cm.mconf,
             valid=cm.valid,
             expec_f=expec_f,
+            n_dropped=cm.n_dropped,
             conf_matrix=conf if return_aux else None,
             i_ids=cm.i_ids if return_aux else None,
             j_ids=cm.j_ids if return_aux else None,

@@ -37,6 +37,10 @@ class AMGResult(NamedTuple):
     stability: jnp.ndarray  # (C,)
     areas: jnp.ndarray  # (C,) pixel area at original resolution (approx)
     valid: jnp.ndarray  # (C,) bool
+    # () count of NMS survivors truncated by the static mask_capacity
+    # ("no silent caps": the reference AMG has no cap, so a crowded scene
+    # must report its overflow instead of silently dropping candidates)
+    n_dropped: jnp.ndarray = None
 
     @property
     def boxes_xywh(self):
@@ -185,7 +189,7 @@ class AutomaticMaskGenerator:
                  boxes[..., 2] - boxes[..., 0], boxes[..., 3] - boxes[..., 1]],
                 axis=-1,
             )
-            return xywh, valid
+            return xywh, valid, res.n_dropped
 
         _boxes_jit = jax.jit(
             _amg_boxes, static_argnames=("in_h", "in_w", "orig_h", "orig_w")
@@ -280,6 +284,7 @@ class AutomaticMaskGenerator:
         cap = min(self.cfg.mask_capacity, C)
         top_score, top_idx = jax.lax.top_k(score, cap)
         valid = jnp.isfinite(top_score)
+        n_dropped = jnp.maximum(jnp.sum(keep_nms) - cap, 0)
         return AMGResult(
             masks_low_res=masks[top_idx],
             boxes=boxes[top_idx],
@@ -287,6 +292,7 @@ class AutomaticMaskGenerator:
             stability=stability[top_idx],
             areas=areas[top_idx],
             valid=valid,
+            n_dropped=n_dropped,
         )
 
     def generate_from_embeddings(self, embeddings, orig_hw, input_hw) -> AMGResult:
@@ -300,10 +306,11 @@ class AutomaticMaskGenerator:
 
     def generate_boxes_batch(self, images_rgb):
         """Eval-path AMG: (B, H, W, 3) uint8 frames (host or device) ->
-        device ((B, C, 4) xywh boxes, (B, C) valid) in ONE dispatch —
-        encode + decode + filters + NMS + on-device small-region cleanup.
-        Nothing is fetched to host; the outputs feed the fused
-        retrieve->match->solve program directly."""
+        device ((B, C, 4) xywh boxes, (B, C) valid, (B,) n_dropped) in ONE
+        dispatch — encode + decode + filters + NMS + on-device small-region
+        cleanup. Nothing is fetched to host; the outputs feed the fused
+        retrieve->match->solve program directly (n_dropped rides the packed
+        record so it costs no extra d2h leaf)."""
         images = (
             np.stack([np.asarray(im, np.uint8) for im in images_rgb])
             if isinstance(images_rgb, (list, tuple))

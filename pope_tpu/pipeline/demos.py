@@ -61,18 +61,22 @@ def demo_3dbbox(
     K1,
     prompt_pose,
     box3d_corners,
+    target_pose=None,
     out_query: str = "query_result.png",
     out_bbox: str = "3D_BBox.png",
 ):
     """visual_3dbbox.py: full pipeline on one pair, then render the 3-D box
     with the predicted relative rotation composed onto the prompt pose and
-    the GT translation kept (:121-124)."""
+    the GT TARGET translation kept (visual_3dbbox.py:119-124:
+    predict_pose[:3,3] = target_pose[:3,3]). query_result.png is the
+    hstack of the resized prompt and the winning crop (:112-116)."""
     import cv2
 
+    from pope_tpu.geometry.affine import get_image_crop_resize
     from pope_tpu.geometry.pose import project_points
     from pope_tpu.models.dinov2.preprocess import preprocess_image
     from pope_tpu.pipeline.runner import get_executor
-    from pope_tpu.utils.draw import draw_axis, draw_bbox_3d, draw_correspondence
+    from pope_tpu.utils.draw import draw_axis, draw_bbox_3d
 
     img0 = cv2.cvtColor(cv2.imread(prompt_path), cv2.COLOR_BGR2RGB)
     img1 = cv2.cvtColor(cv2.imread(target_path), cv2.COLOR_BGR2RGB)
@@ -89,11 +93,13 @@ def demo_3dbbox(
         jax.random.PRNGKey(0),
     )
 
-    # compose predicted relative R with the prompt pose; keep GT t
+    # compose predicted relative R with the prompt pose; keep the GT target
+    # translation (the demo has no metric scale for t, :121-124)
     R_rel = np.asarray(result.R)
     prompt_pose = np.asarray(prompt_pose)
+    t_src = np.asarray(target_pose) if target_pose is not None else prompt_pose
     R_obj = R_rel @ prompt_pose[:3, :3]
-    t_obj = prompt_pose[:3, 3]
+    t_obj = t_src[:3, 3]
     RT = np.hstack([R_obj, t_obj[:, None]]).astype(np.float32)
 
     corners2d, _ = project_points(jnp.asarray(box3d_corners, jnp.float32), jnp.asarray(RT), jnp.asarray(K1, jnp.float32))
@@ -102,12 +108,15 @@ def demo_3dbbox(
     vis = draw_axis(vis, R_obj, t_obj, K1)
     cv2.imwrite(out_bbox, vis)
 
-    ok = np.asarray(result.match_valid)
-    corr = draw_correspondence(
-        cv2.cvtColor(img0, cv2.COLOR_RGB2BGR),
-        cv2.cvtColor(img1, cv2.COLOR_RGB2BGR)[: img0.shape[0], : img0.shape[1]],
-        np.asarray(result.mkpts0)[ok],
-        np.asarray(result.mkpts1)[ok],
+    # query_result.png: resized prompt beside the winning crop (:112-116)
+    crop, _ = get_image_crop_resize(
+        jnp.asarray(img1, jnp.float32) / 255.0,
+        jnp.asarray(result.pre_bbox, jnp.float32), (256, 256),
     )
-    cv2.imwrite(out_query, corr)
-    return vis, corr, result
+    crop_bgr = cv2.cvtColor(
+        (np.clip(np.asarray(crop), 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+    )
+    que = cv2.resize(cv2.cvtColor(img0, cv2.COLOR_RGB2BGR), (256, 256))
+    stack = np.hstack([que, crop_bgr])
+    cv2.imwrite(out_query, stack)
+    return vis, stack, result

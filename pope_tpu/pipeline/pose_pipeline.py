@@ -61,7 +61,7 @@ class PipelineExecutor:
             best = jnp.argmax(strong)
             return (
                 res.mkpts0[best], res.mkpts1[best], res.mconf[best],
-                res.valid[best], strong[best], best,
+                res.valid[best], strong[best], best, res.n_dropped[best],
             )
 
         def solve(mkpts0, mkpts1, K0, pre_K, valid, key):
@@ -137,33 +137,38 @@ class PipelineExecutor:
         divisible by mesh.shape['dp']."""
         models = self.models
 
-        def run_fused(dv, mv, image0_b, image1_b, K0_b, K1_b, amg_boxes_b, amg_valid_b, ref_cls_b, keys):
+        def run_fused(dv, mv, image0_b, image1_b, K0_b, K1_b, amg_boxes_b, amg_valid_b, ref_cls_b, keys, amg_dropped_b=None):
             top_idx, sim, crops, crop_Ks, boxes = jax.vmap(
                 self._retrieve_fn, in_axes=(None, 0, 0, 0, 0, 0)
             )(dv, image1_b, amg_boxes_b, amg_valid_b, K1_b, ref_cls_b)
-            mkpts0, mkpts1, mconf, mvalid, n_strong, best = jax.vmap(
+            mkpts0, mkpts1, mconf, mvalid, n_strong, best, match_dropped = jax.vmap(
                 self._match_fn, in_axes=(None, 0, 0)
             )(mv, image0_b, crops)
             pre_K, pre_bbox = jax.vmap(self._select_fn)(crop_Ks, boxes, top_idx, best)
             sol = jax.vmap(self._solve_fn)(mkpts0, mkpts1, K0_b, pre_K, mvalid, keys)
+            B = mkpts0.shape[0]
+            if amg_dropped_b is None:
+                amg_dropped_b = jnp.zeros((B,), jnp.int32)
             res = PairResult(
                 R=sol.R, t=sol.t, ok=sol.ok, pre_bbox=pre_bbox, pre_K=pre_K,
                 mkpts0=mkpts0, mkpts1=mkpts1, mconf=mconf, match_valid=mvalid,
                 n_strong=n_strong, sim_scores=sim,
+                n_dropped_masks=amg_dropped_b, n_dropped_matches=match_dropped,
             )
             # d2h-friendly packing: the tunnel charges a ~40ms floor per
             # fetched leaf, so the record consumers pull TWO arrays instead
             # of nine (unpacked host-side by runner._unpack_records)
-            B = mkpts0.shape[0]
             small = jnp.concatenate(
                 [
                     sol.R.reshape(B, 9), sol.t,
                     sol.ok.astype(jnp.float32)[:, None], pre_bbox,
                     pre_K.reshape(B, 9),
                     n_strong.astype(jnp.float32)[:, None],
+                    amg_dropped_b.astype(jnp.float32)[:, None],
+                    match_dropped.astype(jnp.float32)[:, None],
                 ],
                 axis=-1,
-            )  # (B, 27)
+            )  # (B, 29)
             matches = jnp.concatenate(
                 [mkpts0, mkpts1, mconf[..., None], mvalid.astype(jnp.float32)[..., None]],
                 axis=-1,
@@ -196,7 +201,7 @@ class PipelineExecutor:
         top_idx, sim, crops, crop_Ks, boxes = self._retrieve(
             image1_rgb01, amg_result.boxes_xywh, amg_result.valid, K1, ref_cls
         )
-        mkpts0, mkpts1, mconf, mvalid, n_strong, best = self._match(
+        mkpts0, mkpts1, mconf, mvalid, n_strong, best, match_dropped = self._match(
             jnp.asarray(image0_rgb01), crops
         )
         pre_K, pre_bbox = self._select(crop_Ks, boxes, top_idx, best)
@@ -205,6 +210,8 @@ class PipelineExecutor:
             R=sol.R, t=sol.t, ok=sol.ok, pre_bbox=pre_bbox, pre_K=pre_K,
             mkpts0=mkpts0, mkpts1=mkpts1, mconf=mconf, match_valid=mvalid,
             n_strong=n_strong, sim_scores=sim,
+            n_dropped_masks=getattr(amg_result, "n_dropped", None),
+            n_dropped_matches=match_dropped,
         )
 
 
@@ -220,6 +227,10 @@ class PairResult(NamedTuple):
     match_valid: jnp.ndarray  # (M,) bool
     n_strong: jnp.ndarray  # () winning crop's strong-match count
     sim_scores: jnp.ndarray  # (top_k,) retrieval cosine scores
+    # capacity-saturation telemetry ("no silent caps"): candidates/matches
+    # the static mask_capacity / match_capacity truncated for this pair
+    n_dropped_masks: jnp.ndarray = None  # ()
+    n_dropped_matches: jnp.ndarray = None  # ()
 
 
 def _dino_preprocess_crop(crop_rgb01):
@@ -353,4 +364,6 @@ def estimate_pair(
         match_valid=mvalid,
         n_strong=strong[best],
         sim_scores=sim,
+        n_dropped_masks=getattr(amg_result, "n_dropped", None),
+        n_dropped_matches=res.n_dropped[best],
     )

@@ -159,6 +159,9 @@ def _record(paths, host, result_np):
         "pre_bbox": np.asarray(result_np["pre_bbox"]).astype(int).tolist(),
         "gt_bbox": gt_bbox.tolist() if gt_bbox is not None else None,
         "n_strong": int(result_np["n_strong"]),
+        # capacity-saturation telemetry ("no silent caps")
+        "n_dropped_masks": int(result_np.get("n_dropped_masks", 0)),
+        "n_dropped_matches": int(result_np.get("n_dropped_matches", 0)),
         "epi_errs": epi_errs,
         "T_0to1": T_0to1,
         "R": R,
@@ -210,13 +213,13 @@ def dispatch_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None):
     # AMG (encode+decode+filters+NMS+small-region cleanup) runs as ONE
     # device program whose outputs stay on device: no mask d2h, no host
     # postprocess, no box re-upload.
-    boxes_b, valid_b = models.amg.generate_boxes_batch(dev["img1_u8"])
+    boxes_b, valid_b, dropped_b = models.amg.generate_boxes_batch(dev["img1_u8"])
     ref_cls = executor.prompt_cls_raw(dev["img0_u8"])  # (B, D)
 
     run = executor.batched()
     small, matches = run(
         dev["img0_u8"], dev["img1_u8"], dev["K0"], dev["K1"],
-        boxes_b, valid_b, ref_cls, keys, packed=True,
+        boxes_b, valid_b, ref_cls, keys, dropped_b, packed=True,
     )
     return (paths_list, hosts, small, matches)
 
@@ -255,8 +258,9 @@ def run_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None) -> List
 
 def _unpack_record(small: np.ndarray, matches: np.ndarray) -> dict:
     """Inverse of the fused runner's record packing (pose_pipeline
-    run_fused): small (27,) = R(9) t(3) ok(1) pre_bbox(4) pre_K(9)
-    n_strong(1); matches (M, 6) = mkpts0(2) mkpts1(2) mconf(1) valid(1)."""
+    run_fused): small (29,) = R(9) t(3) ok(1) pre_bbox(4) pre_K(9)
+    n_strong(1) n_dropped_masks(1) n_dropped_matches(1); matches (M, 6) =
+    mkpts0(2) mkpts1(2) mconf(1) valid(1)."""
     return {
         "R": small[0:9].reshape(3, 3),
         "t": small[9:12],
@@ -264,6 +268,8 @@ def _unpack_record(small: np.ndarray, matches: np.ndarray) -> dict:
         "pre_bbox": small[13:17],
         "pre_K": small[17:26].reshape(3, 3),
         "n_strong": small[26],
+        "n_dropped_masks": small[27] if small.shape[0] > 27 else 0.0,
+        "n_dropped_matches": small[28] if small.shape[0] > 28 else 0.0,
         "mkpts0": matches[:, 0:2],
         "mkpts1": matches[:, 2:4],
         "mconf": matches[:, 4],

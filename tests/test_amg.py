@@ -126,8 +126,10 @@ def test_generate_boxes_batch_matches_host_postproc(amg, rng):
     gen = AutomaticMaskGenerator(amg.sam, amg.variables, cfg, TEST_CFG)
 
     host_results = gen.generate_batch(imgs)
-    dev_xywh, dev_valid = gen.generate_boxes_batch(imgs)
+    dev_xywh, dev_valid, dev_dropped = gen.generate_boxes_batch(imgs)
     dev_xywh, dev_valid = np.asarray(dev_xywh), np.asarray(dev_valid)
+    assert np.asarray(dev_dropped).shape == (2,)
+    assert (np.asarray(dev_dropped) >= 0).all()
 
     for i, r in enumerate(host_results):
         host_valid = np.asarray(r.valid)
@@ -137,3 +139,21 @@ def test_generate_boxes_batch_matches_host_postproc(amg, rng):
             np.testing.assert_allclose(
                 dev_xywh[i][host_valid], host_xywh, atol=1e-3, err_msg=f"img {i}"
             )
+
+
+def test_crowded_scene_reports_dropped_candidates(amg, rng):
+    """'No silent caps': when NMS survivors exceed mask_capacity, the drop
+    counter must be nonzero (the reference AMG has no cap at all, so
+    saturation has to be observable rather than silent)."""
+    imgs = rng.uniform(0, 255, (1, 96, 128, 3)).astype(np.uint8)
+    # noise + permissive thresholds + NMS disabled (thresh > 1: untrained-SAM
+    # speckle masks all span the frame, so any real threshold collapses them)
+    # -> far more surviving candidates than a capacity of 4
+    cfg = AMGConfig(
+        points_per_side=4, pred_iou_thresh=-10.0, stability_score_thresh=0.0,
+        mask_capacity=4, min_mask_region_area=0, box_nms_thresh=1.5,
+    )
+    gen = AutomaticMaskGenerator(amg.sam, amg.variables, cfg, TEST_CFG)
+    _, valid, dropped = gen.generate_boxes_batch(imgs)
+    assert bool(np.asarray(valid).any())
+    assert int(np.asarray(dropped)[0]) > 0

@@ -60,9 +60,12 @@ def test_ransac_recovers_pose(rng):
 
 
 def test_ransac_matches_opencv_quality(rng):
-    """Our solver should be at least as accurate as cv2's on the same data."""
+    """The solver BEATS cv2's 5-point RANSAC head-to-head on this synthetic
+    benchmark: median error over >=20 trials must be <= cv2's median (the
+    enforced bar matches the README claim; measured round 3: R 0.89deg vs
+    cv2 2.24deg, t 2.37deg vs 4.00deg over 24 trials)."""
     ours_R, ours_t, cv_R, cv_t = [], [], [], []
-    for trial in range(5):
+    for trial in range(20):
         pix0, pix1, K, R_gt, t_gt = synth_pair(rng, n=250, noise_px=1.0, outlier_frac=0.3)
         res = estimate_pose_ransac(
             jnp.asarray(pix0), jnp.asarray(pix1), jnp.asarray(K), jnp.asarray(K),
@@ -84,9 +87,10 @@ def test_ransac_matches_opencv_quality(rng):
         cv_R.append(float(rotation_angle_deg(jnp.asarray(ret[0], jnp.float32), jnp.asarray(R_gt, jnp.float32))))
         cv_t.append(float(translation_angle_deg(jnp.asarray(ret[1], jnp.float32), jnp.asarray(t_gt, jnp.float32))))
 
-    # comparable accuracy: our median error within 2x of cv2's (both should be ~1deg)
-    assert np.median(ours_R) < max(2 * np.median(cv_R), 2.0), (ours_R, cv_R)
-    assert np.median(ours_t) < max(2 * np.median(cv_t), 3.0), (ours_t, cv_t)
+    # head-to-head: our median error must not exceed cv2's (tiny epsilon
+    # for float jitter only, not a 2x allowance)
+    assert np.median(ours_R) <= np.median(cv_R) + 1e-3, (ours_R, cv_R)
+    assert np.median(ours_t) <= np.median(cv_t) + 1e-3, (ours_t, cv_t)
 
 
 def test_ransac_with_padding(rng):

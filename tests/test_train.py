@@ -144,6 +144,25 @@ def test_gt_pad_matches_semantics():
         assert v[s] and mc[s] == 0.5 and ii[s] == s + 10
 
 
+def test_coarse_matching_reports_dropped_matches():
+    """'No silent caps': when more mutual-NN matches pass the threshold than
+    the static capacity holds, n_dropped reports the overflow."""
+    from pope_tpu.models.matcher.matching import coarse_matching
+
+    h = w = 8  # 64 cells; border_rm=2 leaves a 4x4=16-cell interior
+    L = S = h * w
+    # identity-like confidence: every cell matches itself with conf 0.9
+    conf = jnp.eye(L)[None] * 0.9 + 1e-4
+    cm = coarse_matching(conf, (h, w), (h, w), thr=0.2, border_rm=2, capacity=10)
+    n_kept = int(jnp.sum(cm.valid))
+    assert n_kept == 10
+    assert int(cm.n_dropped[0]) == 16 - 10
+    # with enough capacity nothing is dropped
+    cm2 = coarse_matching(conf, (h, w), (h, w), thr=0.2, border_rm=2, capacity=32)
+    assert int(jnp.sum(cm2.valid)) == 16
+    assert int(cm2.n_dropped[0]) == 0
+
+
 def test_fine_loss_has_signal_from_step0(rng):
     """With GT padding the fine stage sees supervised windows even when the
     fresh-init predictions are pure noise: loss_fine must be meaningfully

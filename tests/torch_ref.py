@@ -136,13 +136,25 @@ def _install_torchvision_stub():
     tf_functional = types.ModuleType("torchvision.transforms.functional")
 
     def _resize(img, size, **kw):
+        try:
+            from PIL import Image
+
+            if isinstance(img, Image.Image):
+                h, w = (size, size) if isinstance(size, int) else size
+                return img.resize((w, h), Image.BILINEAR)
+        except ImportError:
+            pass
         return torch.nn.functional.interpolate(
             img[None] if img.ndim == 3 else img, size=size, mode="bilinear",
             align_corners=False, antialias=True,
         ).squeeze(0)
 
     def _to_pil_image(x):
-        raise NotImplementedError("stub")
+        from PIL import Image
+
+        if isinstance(x, torch.Tensor):
+            x = x.numpy()
+        return Image.fromarray(np.asarray(x))
 
     tf_functional.resize = _resize
     tf_functional.to_pil_image = _to_pil_image
@@ -174,6 +186,12 @@ def load_reference_sam(seed=0, size="test"):
         img_size, patch, embed, depth, heads, win, glob = 256, 16, 64, 4, 2, 4, (1, 3)
     elif size == "b":
         img_size, patch, embed, depth, heads, win, glob = 1024, 16, 768, 12, 12, 14, (2, 5, 8, 11)
+    elif size == "h2":
+        # the TRUE vit_h per-layer config (embed 1280, 16 heads, window 14,
+        # 64x64 grid, build_sam.py:13-19) at depth 2 (one windowed + one
+        # global block) so full-scale rel-pos/window-padding parity runs on
+        # CPU in seconds instead of minutes
+        img_size, patch, embed, depth, heads, win, glob = 1024, 16, 1280, 2, 16, 14, (1,)
     else:
         raise NotImplementedError(size)
     prompt_embed_dim = 64 if size == "test" else 256
