@@ -431,15 +431,21 @@ class SSLMetaArch:
             )  # (n_local*B, K)
             B = dino_probs.shape[0] // 2
             # each local chunk is scored against BOTH teacher global chunks
-            # (dino loss list-x-list, ssl_meta_arch.py:281-285)
-            chunks = local_logits.reshape(n_local, B, -1)
+            # (dino loss list-x-list, ssl_meta_arch.py:281-285). Computed in
+            # the FLAT layout: sum_i CE(chunk_i, t_j) == n_local *
+            # CE(local_logits, tile(t_j)) since crops stack crop-major —
+            # reshaping the student logits to (n_local, B, K) put a
+            # dp-sharding on the size-n_local axis and forced the SPMD
+            # partitioner into involuntary full rematerialization in the
+            # backward (MULTICHIP_r02); only the (gradient-free) teacher
+            # tensor is chunked now.
             t_chunks = dino_probs.reshape(2, B, -1)
             local_loss = 0.0
-            for i in range(n_local):
-                for j in range(2):
-                    local_loss += dino_cross_entropy(
-                        chunks[i], t_chunks[j], cfg.student_temp
-                    )
+            for j in range(2):
+                t_rep = jnp.concatenate([t_chunks[j]] * n_local, axis=0)
+                local_loss += n_local * dino_cross_entropy(
+                    local_logits, t_rep, cfg.student_temp
+                )
             local_loss = local_loss / (n_global_terms + n_local_terms)
             losses["dino_local_crops_loss"] = local_loss
             total += cfg.dino_loss_weight * local_loss
@@ -569,16 +575,22 @@ def make_sharded_ssl_step(arch: SSLMetaArch, mesh, mults=None):
         return jax.jit(step)
 
 
-def shard_ssl_state(state: SSLState, mesh) -> SSLState:
+def shard_ssl_state(state: SSLState, mesh, min_size: int = 2**15) -> SSLState:
     """FSDP-style param/moment sharding: leading axis of every >=2-d leaf
     whose dim divides the dp axis shards across `dp`; everything else
-    replicates (the fsdp ShardingStrategy equivalent)."""
+    replicates (the fsdp ShardingStrategy equivalent).
+
+    min_size: leaves below this element count replicate. Matches FSDP's
+    min_num_params practice, and empirically the GSPMD partitioner falls
+    into 'involuntary full rematerialization' in the ViT attention backward
+    when micro-kernels are dp-sharded (MULTICHIP_r02 tail; XLA b/433785288)
+    — sharding them buys nothing and costs gather traffic anyway."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     ndev = mesh.shape["dp"]
 
     def spec_of(x):
-        if x.ndim >= 2 and x.shape[0] % ndev == 0:
+        if x.ndim >= 2 and x.shape[0] % ndev == 0 and x.size >= min_size:
             return NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
         return NamedSharding(mesh, P())
 

@@ -107,3 +107,63 @@ def train_linear_probe(
 def linear_probe_accuracy(params, feats, labels) -> float:
     logits = feats @ params["w"] + params["b"]
     return float(jnp.mean(jnp.argmax(logits, -1) == labels))
+
+
+def log_regression_accuracy(
+    train_feats, train_labels, val_feats, val_labels,
+    test_feats=None, test_labels=None,
+    l2_values: Sequence[float] = tuple(10.0**e for e in range(-4, 3)),
+    steps: int = 400, lr: float = 0.5, num_classes: int | None = None,
+):
+    """The log-regression eval protocol (dinov2/eval/log_regression.py:
+    full-batch L2-regularized multinomial logistic regression, sweeping the
+    regularization strength on a validation split and reporting the best
+    classifier's test accuracy).
+
+    The reference solves each sweep point with cuML's GPU L-BFGS; here each
+    is one jitted full-batch gradient-descent-with-momentum solve (convex
+    objective — any converged solver lands on the same optimum). Returns
+    (best_test_acc, best_l2, {l2: val_acc}).
+    """
+    import optax
+
+    num_classes = num_classes or int(jnp.max(train_labels)) + 1
+    D = train_feats.shape[-1]
+    if test_feats is None:
+        test_feats, test_labels = val_feats, val_labels
+
+    @jax.jit
+    def solve(l2):
+        params = {
+            "w": jnp.zeros((D, num_classes), jnp.float32),
+            "b": jnp.zeros((num_classes,), jnp.float32),
+        }
+        tx = optax.sgd(lr, momentum=0.9)
+        opt = tx.init(params)
+
+        def loss_fn(p):
+            logits = train_feats @ p["w"] + p["b"]
+            ce = jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, train_labels)
+            )
+            return ce + l2 * jnp.sum(p["w"] ** 2)
+
+        def step(carry, _):
+            params, opt = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, updates), opt), loss
+
+        (params, _), _ = jax.lax.scan(step, (params, opt), None, length=steps)
+        return params
+
+    val_accs = {}
+    best_l2, best_params, best_val = None, None, -1.0
+    for l2 in l2_values:
+        params = solve(jnp.asarray(l2, jnp.float32))
+        acc = linear_probe_accuracy(params, val_feats, val_labels)
+        val_accs[l2] = acc
+        if acc > best_val:
+            best_val, best_l2, best_params = acc, l2, params
+    test_acc = linear_probe_accuracy(best_params, test_feats, test_labels)
+    return test_acc, best_l2, val_accs

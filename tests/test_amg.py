@@ -111,6 +111,7 @@ def test_amg_records_format(amg, rng):
         np.testing.assert_array_equal(native.rle_decode(r["rle"]), r["segmentation"])
 
 
+@pytest.mark.slow
 def test_generate_boxes_batch_matches_host_postproc(amg, rng):
     """The all-device eval path (generate_boxes_batch: on-device connected
     components + NMS) must agree with the host-postprocessed generate_batch
@@ -141,6 +142,7 @@ def test_generate_boxes_batch_matches_host_postproc(amg, rng):
             )
 
 
+@pytest.mark.slow
 def test_crowded_scene_reports_dropped_candidates(amg, rng):
     """'No silent caps': when NMS survivors exceed mask_capacity, the drop
     counter must be nonzero (the reference AMG has no cap at all, so

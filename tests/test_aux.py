@@ -114,3 +114,100 @@ def test_export_roundtrip(rng):
     # matches the live decode
     ref_masks, ref_iou = sam.apply(variables, emb, pts, lbl, multimask_output=True, method=sam.decode)
     np.testing.assert_allclose(np.asarray(masks), np.asarray(ref_masks), atol=1e-5)
+
+
+def test_export_sam_prompt_head_full_surface(rng):
+    """The SamOnnxModel-equivalent export (prompt encode + has_mask blending
+    + decode + postprocess-to-original-size, utils/onnx.py:17-144):
+    roundtrip, shape contract, no-mask path == live decode+postprocess, and
+    the mask-input path responds to has_mask_input."""
+    import jax
+
+    from pope_tpu.export import export_sam_prompt_head, load_exported
+    from pope_tpu.models.sam import Sam, convert_torch_sam_state
+    from pope_tpu.models.sam.sam import postprocess_masks, resize_longest_side
+    from tests.test_sam_parity import TEST_CFG
+    from tests.torch_ref import load_reference_sam
+
+    _, sd = load_reference_sam(seed=4, size="test")
+    variables = convert_torch_sam_state(sd, depth=4)
+    sam = Sam(TEST_CFG)
+    orig_hw = (200, 256)
+    blob = export_sam_prompt_head(sam, variables, orig_hw, num_points=2)
+    fn = load_exported(blob)
+
+    emb = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 64)), jnp.float32)
+    pts = jnp.asarray(rng.uniform(0, 256, (1, 2, 2)), jnp.float32)
+    lbl = jnp.asarray([[1, -1]], jnp.int32)
+    mask_in = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    up, scores, low = fn.call(emb, pts, lbl, mask_in, jnp.zeros((1,)))
+    assert up.shape == (1, 3, 200, 256)
+    assert scores.shape == (1, 3) and low.shape[1] == 3
+
+    # no-mask path == live decode + postprocess
+    ref_low, ref_iou = sam.apply(
+        variables, emb, pts, lbl, multimask_output=True, method=sam.decode
+    )
+    np.testing.assert_allclose(np.asarray(low), np.asarray(ref_low), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_iou), atol=1e-5)
+    in_hw = resize_longest_side(*orig_hw, 256)
+    ref_up = postprocess_masks(ref_low, in_hw, orig_hw, 256)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref_up), atol=1e-4)
+
+    # a mask prompt with has_mask_input=1 changes the decode (untrained
+    # logits are cancellation-tiny, so assert a nonzero delta rather than a
+    # large one)
+    m = jnp.asarray(rng.normal(0, 4, (1, 64, 64, 1)), jnp.float32)
+    _, scores_m, low_m = fn.call(emb, pts, lbl, m, jnp.ones((1,)))
+    assert float(np.abs(np.asarray(low_m) - np.asarray(low)).max()) > 1e-7
+    # ... and has_mask_input=0 with a mask tensor present is the no-mask path
+    _, _, low_0 = fn.call(emb, pts, lbl, m, jnp.zeros((1,)))
+    np.testing.assert_allclose(np.asarray(low_0), np.asarray(low), atol=1e-6)
+
+    # single-mask variant returns K=1
+    blob1 = export_sam_prompt_head(sam, variables, orig_hw, num_points=2,
+                                   return_single_mask=True)
+    up1, s1, low1 = load_exported(blob1).call(emb, pts, lbl, mask_in, jnp.zeros((1,)))
+    assert up1.shape == (1, 1, 200, 256) and s1.shape == (1, 1)
+    best = int(np.argmax(np.asarray(scores)[0]))
+    np.testing.assert_allclose(np.asarray(low1)[0, 0], np.asarray(low)[0, best], atol=1e-5)
+
+
+def test_export_matcher_and_dinov2(rng):
+    import jax
+
+    from pope_tpu.config import (
+        BackboneConfig, CoarseMatchConfig, DinoV2Config, LoFTRStageConfig,
+        MatcherConfig,
+    )
+    from pope_tpu.export import export_dinov2, export_matcher, load_exported
+    from pope_tpu.models.dinov2 import DinoVisionTransformer
+    from pope_tpu.models.matcher import Matcher
+
+    mcfg = MatcherConfig(
+        backbone=BackboneConfig(initial_dim=16, block_dims=(16, 24, 32)),
+        coarse=LoFTRStageConfig(d_model=32, d_ffn=32, nhead=2, layer_names=("self", "cross")),
+        fine=LoFTRStageConfig(d_model=16, d_ffn=16, nhead=2, layer_names=("self", "cross")),
+        match_coarse=CoarseMatchConfig(match_capacity=32),
+    )
+    matcher = Matcher(mcfg)
+    m_vars = matcher.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 1), np.float32),
+                          np.zeros((1, 64, 64, 1), np.float32))
+    blob = export_matcher(matcher, m_vars, (64, 64), (64, 64))
+    fn = load_exported(blob)
+    i0 = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)), jnp.float32)
+    i1 = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)), jnp.float32)
+    mk0, mk1, conf, valid = fn.call(i0, i1)
+    live = matcher.apply(m_vars, i0, i1)
+    np.testing.assert_allclose(np.asarray(mk0), np.asarray(live.mkpts0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(live.mconf), atol=1e-5)
+
+    dcfg = DinoV2Config(img_size=56, embed_dim=32, depth=2, num_heads=2)
+    dinov2 = DinoVisionTransformer(dcfg)
+    d_vars = dinov2.init(jax.random.PRNGKey(1), np.zeros((1, 56, 56, 3), np.float32))
+    dblob = export_dinov2(dinov2, d_vars, img_size=56)
+    dfn = load_exported(dblob)
+    x = jnp.asarray(rng.normal(0, 1, (1, 56, 56, 3)), jnp.float32)
+    cls = dfn.call(x)
+    ref = dinov2.apply(d_vars, x)["x_norm_clstoken"]
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(ref), atol=1e-5)

@@ -6,6 +6,8 @@ import pytest
 
 from tests.test_pipeline_e2e import tiny_models  # fixture reuse  # noqa: F401
 
+pytestmark = pytest.mark.slow  # heavy oracle/e2e surface; core suite skips
+
 
 def test_demo_dinov2_heatmap(tiny_models, tmp_path):  # noqa: F811
     from pope_tpu.pipeline.demos import demo_dinov2_heatmap

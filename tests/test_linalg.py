@@ -1,11 +1,13 @@
 """Fixed-sweep Jacobi linalg vs numpy reference."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pope_tpu.ops.linalg import eigh_jacobi, smallest_eigvec, svd3
 
 
+@pytest.mark.slow
 def test_eigh_jacobi_9x9(rng):
     B = 64
     X = rng.normal(0, 1, (B, 9, 9)).astype(np.float32)
@@ -18,6 +20,7 @@ def test_eigh_jacobi_9x9(rng):
     assert np.abs(resid).max() < 1e-2
 
 
+@pytest.mark.slow
 def test_smallest_eigvec_nullspace(rng):
     # construct M with a known (near-)nullspace
     B = 16

@@ -58,6 +58,7 @@ def test_pos_encoding_parity(ref_and_ours):
     np.testing.assert_allclose(pe_ours.transpose(2, 0, 1), pe_ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_matcher_parity(ref_and_ours, rng):
     """End-to-end: same images through both matchers -> same match set."""
     ref, variables, ours, cfg = ref_and_ours

@@ -13,6 +13,8 @@ from pope_tpu.nvs.nerf import (
 )
 from pope_tpu.utils.image_metrics import psnr, ssim
 
+pytestmark = pytest.mark.slow  # heavy oracle/e2e surface; core suite skips
+
 
 def _look_at_pose(cam_pos, target=np.zeros(3)):
     """world->camera [R|t], opencv convention (x right, y down, z forward):

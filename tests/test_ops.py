@@ -1,6 +1,7 @@
 """Unit tests for mask/NMS/resize ops vs reference semantics."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
@@ -163,6 +164,7 @@ class TestDeviceComponents:
         lab = np.asarray(label_components(jnp.asarray(m)))
         assert lab[0, 0] == lab[1, 1] == 0
 
+    @pytest.mark.slow
     def test_remove_small_regions_parity_with_native(self, rng):
         """Device twin must match native.remove_small_regions (itself
         cv2-parity-tested in test_native.py) on speckly random masks."""
@@ -193,6 +195,7 @@ class TestDeviceComponents:
         assert bool(changed)
         assert out[10:12, 10:13].all() and out.sum() == 6
 
+    @pytest.mark.slow
     def test_clean_mask_vmap_jit(self, rng):
         import jax
         import jax.numpy as jnp

@@ -22,6 +22,8 @@ from pope_tpu.pipeline.runner import run_pair
 from tests.test_sam_parity import TEST_CFG as SAM_TEST_CFG
 from tests.torch_ref import load_reference_sam
 
+pytestmark = pytest.mark.slow  # heavy oracle/e2e surface; core suite skips
+
 
 def _build_tiny_models(coarse_cfg=None):
     _, sd = load_reference_sam(seed=2, size="test")

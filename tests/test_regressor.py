@@ -2,6 +2,7 @@
 collate semantics, rotation heads."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -15,6 +16,8 @@ from pope_tpu.models.regressor import (
     train_step,
 )
 from pope_tpu.models.regressor.data import sample_mkpts
+
+pytestmark = pytest.mark.slow  # heavy oracle/e2e surface; core suite skips
 
 
 def test_nerf_embedding_reference(rng):

@@ -11,6 +11,8 @@ from pope_tpu.config import SamConfig, SamEncoderConfig
 from pope_tpu.models.sam import Sam, convert_torch_sam_state
 from tests.torch_ref import load_reference_sam
 
+pytestmark = pytest.mark.slow  # heavy oracle/e2e surface; core suite skips
+
 TEST_CFG = SamConfig(
     encoder=SamEncoderConfig(
         img_size=256, patch_size=16, embed_dim=64, depth=4, num_heads=2,

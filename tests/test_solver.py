@@ -3,12 +3,15 @@ correspondences (the reference's own solver path, metrics.py:69-94)."""
 
 import cv2
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation
 
 from pope_tpu.solver import estimate_pose_ransac, kabsch, umeyama_alignment
 from pope_tpu.geometry import rotation_angle_deg, translation_angle_deg
+
+pytestmark = pytest.mark.slow  # heavy oracle/e2e surface; core suite skips
 
 
 def synth_pair(rng, n=300, noise_px=0.5, outlier_frac=0.2, f=500.0, max_angle_deg=40.0):

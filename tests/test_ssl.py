@@ -202,6 +202,7 @@ def _tiny_batch(rng, B=2, n_local=2, g=56, l=28, n_tokens=16):
     }
 
 
+@pytest.mark.slow
 def test_ssl_train_step(rng):
     arch = _tiny_arch()
     state = arch.init_state(jax.random.PRNGKey(0))
@@ -272,6 +273,7 @@ def test_group_multipliers(rng):
     assert float(last_f["dino_head"]["mlp_0"]["kernel"]) == 0.0
 
 
+@pytest.mark.slow
 def test_ssl_driver_smoke(tmp_path, rng):
     """train_ssl end-to-end: image folder -> loader -> 2 jitted steps ->
     checkpoint + resume."""
@@ -327,6 +329,7 @@ def test_ssl_batches_advance_across_epochs(tmp_path, rng):
     assert not np.array_equal(b0["masks"], b1["masks"])
 
 
+@pytest.mark.slow
 def test_ssl_driver_dp_mesh(tmp_path, rng):
     """train_ssl with a dp mesh (the `cli train-ssl --dp 8` path): sharded
     batches + FSDP-sharded state through the driver loop."""
@@ -350,6 +353,7 @@ def test_ssl_driver_dp_mesh(tmp_path, rng):
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_ssl_sharded_step_matches_single(rng):
     from pope_tpu.parallel import make_mesh
 
@@ -385,6 +389,7 @@ def test_ssl_sharded_step_matches_single(rng):
     )
 
 
+@pytest.mark.slow
 def test_knn_and_linear_probe(rng):
     """SSL eval protocols on synthetic class blobs: knn voting semantics
     (incl. parity with the reference's softmax(sims/T) weighted vote) and
@@ -434,3 +439,32 @@ def test_knn_and_linear_probe(rng):
     assert losses[-1] < losses[0] * 0.5
     acc = linear_probe_accuracy(params, jnp.asarray(feats[te]), jnp.asarray(labels[te]))
     assert acc > 0.9, acc
+
+    # log-regression protocol: the l2 sweep picks a classifier that
+    # separates the blobs, and a huge l2 is rejected by the val split
+    from pope_tpu.train.ssl_eval import log_regression_accuracy
+
+    test_acc, best_l2, val_accs = log_regression_accuracy(
+        jnp.asarray(feats[tr]), jnp.asarray(labels[tr]),
+        jnp.asarray(feats[te]), jnp.asarray(labels[te]),
+        l2_values=(1e-4, 1e-2, 1e2), steps=300, num_classes=C,
+    )
+    assert test_acc > 0.9, (test_acc, val_accs)
+    assert best_l2 != 1e2, val_accs
+
+
+def test_animator_headless(tmp_path):
+    """pose/animator.py equivalent: incremental add() + headless save()."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from pope_tpu.utils.animator import Animator
+
+    an = Animator(xlabel="step", ylabel="loss", legend=["train", "val"])
+    for i in range(5):
+        an.add(i, [1.0 / (i + 1), 1.2 / (i + 1)])
+    assert len(an.X[0]) == 5 and len(an.Y) == 2
+    out = tmp_path / "curve.png"
+    an.save(str(out))
+    an.close()
+    assert out.exists() and out.stat().st_size > 1000

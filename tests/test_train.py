@@ -3,6 +3,7 @@ semantics on synthetic depth, loss behavior, and a full sharded train step
 over the 8-device mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -102,6 +103,7 @@ def _tiny_matcher():
     )
 
 
+@pytest.mark.slow
 def test_matcher_train_step_runs_and_descends(rng):
     matcher = _tiny_matcher()
     tx = build_optimizer(OptimConfig(lr=1e-3, warmup_steps=0, scheduler="ExponentialLR", elr_gamma=1.0))
@@ -163,6 +165,7 @@ def test_coarse_matching_reports_dropped_matches():
     assert int(cm2.n_dropped[0]) == 0
 
 
+@pytest.mark.slow
 def test_fine_loss_has_signal_from_step0(rng):
     """With GT padding the fine stage sees supervised windows even when the
     fresh-init predictions are pure noise: loss_fine must be meaningfully
@@ -181,6 +184,7 @@ def test_fine_loss_has_signal_from_step0(rng):
     assert min(fine_losses[1:]) < fine_losses[0], fine_losses
 
 
+@pytest.mark.slow
 def test_sinkhorn_matcher_option(rng):
     """match_type='sinkhorn' (coarse_matching.py:121-143): learns a dustbin
     param, produces a sane confidence assignment, and matches identical
@@ -215,6 +219,7 @@ def test_sinkhorn_matcher_option(rng):
     assert np.isfinite(losses).all() and losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_sharded_train_step_8dev(rng):
     matcher = _tiny_matcher()
     tx = build_optimizer(OptimConfig(lr=1e-4, warmup_steps=0))
@@ -230,6 +235,7 @@ def test_sharded_train_step_8dev(rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_sam_encoder_tp_sharded_inference(rng):
     """Tensor-parallel INFERENCE of the SAM encoder over a (dp, tp) mesh:
     tp-sharded kernels + dp-sharded image batch reproduce the single-device

@@ -2,6 +2,7 @@
 model forward shape/finiteness."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +22,7 @@ def _ref_scan(u, delta, A, B, C, D):
     return np.stack(ys)
 
 
+@pytest.mark.slow
 def test_selective_scan_matches_sequential(rng):
     L, Din, N = 33, 8, 4
     u = rng.normal(0, 1, (L, Din)).astype(np.float32)
@@ -43,6 +45,7 @@ def test_vim_forward(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_vim_unidirectional(rng):
     model = VisionMamba(VimConfig(img_size=32, patch_size=16, embed_dim=32, depth=1, num_classes=5, bidirectional=False))
     x = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 3)), jnp.float32)

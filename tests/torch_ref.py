@@ -167,6 +167,75 @@ def _install_torchvision_stub():
     sys.modules["torchvision.transforms.functional"] = tf_functional
 
 
+def _install_minkowski_stub():
+    """pose/convnextv2/utils.py imports SparseTensor at module level; the
+    dense ConvNeXtV2 path never touches it."""
+    if "MinkowskiEngine" in sys.modules:
+        return
+    me = types.ModuleType("MinkowskiEngine")
+
+    class _Unavailable:
+        def __init__(self, *a, **kw):
+            raise RuntimeError("MinkowskiEngine stub: sparse path unavailable")
+
+    for name in (
+        "SparseTensor", "MinkowskiConvolution",
+        "MinkowskiDepthwiseConvolution", "MinkowskiLinear",
+    ):
+        setattr(me, name, _Unavailable)
+    sys.modules["MinkowskiEngine"] = me
+
+
+def _install_timm_stub():
+    """pose/convnextv2 imports only trunc_normal_ and DropPath from timm."""
+    _install_minkowski_stub()
+    if "timm" in sys.modules:
+        return
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    def trunc_normal_(tensor, std=1.0, **kw):
+        with torch.no_grad():
+            tensor.normal_(0, std).clamp_(-2 * std, 2 * std)
+        return tensor
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, p=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x  # eval-time identity
+
+    layers.trunc_normal_ = trunc_normal_
+    layers.DropPath = DropPath
+    models.layers = layers
+    timm.models = models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+
+
+def load_reference_convnextv2(seed=0, depths=(2, 2, 4, 2), dims=(16, 32, 48, 64),
+                              num_classes=10):
+    """Reference torch ConvNeXtV2 (pose/convnextv2/convnextv2.py) with
+    deterministic random weights as a converter-parity oracle."""
+    _install_timm_stub()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    torch.manual_seed(seed)
+    from pose.convnextv2.convnextv2 import ConvNeXtV2
+
+    m = ConvNeXtV2(depths=list(depths), dims=list(dims), num_classes=num_classes)
+    m.eval()
+    g = torch.Generator().manual_seed(seed + 1)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    return m, sd
+
+
 def load_reference_sam(seed=0, size="test"):
     """Build a small reference SAM (random weights) as a parity oracle.
 
