@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 
@@ -59,9 +60,16 @@ def fine_loss(expec_f, expec_f_gt, match_valid, cfg: LossConfig = LossConfig()):
     if cfg.fine_type == "l2_with_std":
         std = expec_f[..., 2]
         inverse_std = 1.0 / jnp.clip(std, 1e-10, None)
-        # stop-gradient-free weighting like the reference (detached there;
-        # the normalization keeps it bounded)
-        ws = inverse_std / jnp.maximum(jnp.mean(inverse_std * w), 1e-10)
+        # the weight MUST be detached exactly like the reference
+        # (loftr_loss.py: `weight = (inverse_std / torch.mean(inverse_std))
+        # .detach()`): with gradients flowing into it, the model can shrink
+        # the loss by RAISING std on hard matches (down-weighting them away)
+        # instead of improving their offsets — measured as a ~2.4px fine
+        # plateau on the synthetic accuracy harness that no amount of
+        # training moved
+        ws = jax.lax.stop_gradient(
+            inverse_std / jnp.maximum(jnp.mean(inverse_std * w), 1e-10)
+        )
         offset_l2 = offset_l2 * jnp.where(w > 0, ws, 0.0)
     n = jnp.maximum(jnp.sum(w), 1.0)
     return jnp.sum(offset_l2 * w) / n

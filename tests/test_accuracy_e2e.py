@@ -1,0 +1,345 @@
+"""End-to-end ACCURACY gate (round-2 verdict item #2): train a tiny matcher
+on synthetic rendered pairs with exact geometry, run the SHIPPED eval driver
+(`evaluate_dataset` -> the batched runner path) over a LINEMOD-layout
+dataset of held-out renders, and assert the assembled pipeline produces
+small pose errors — the first test that fails if any stage silently
+degrades geometry (crop/K update, matcher coordinates, selection, RANSAC,
+record building, metric aggregation), mirroring what res_linemod.xlsx does
+for the reference.
+
+Scope note: the container ships no released SAM/DINOv2 checkpoints, so a
+random-weight AMG cannot propose semantically meaningful candidates (its
+correctness is oracle-tested in test_amg_oracle.py). The runner here
+injects candidate boxes (GT-projected bbox + distractors) in place of the
+AMG stage, and exercises EVERYTHING downstream of segmentation through the
+production code path: compact-expand, crop + K' = T.K, batched DINOv2
+retrieval scoring, batch-3 matching, argmax-by-strong-matches selection,
+on-chip RANSAC, records, and Acc/AUC/AP50 aggregation.
+"""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
+
+# Resolution choices are accuracy-critical:
+# - the crop resolution sets how many coarse cells land on the object (the
+#   supervision density): at crop 64 only ~19 cells carried depth and the
+#   GT capped at ~15 matches; crop 128 yields ~100 object cells;
+# - mkpts0 quantization does NOT add correspondence noise: the fine stage
+#   regresses the crop point matching the exact mkpts0 grid corner, so each
+#   pair is geometrically exact up to the fine regression error (~0.7px
+#   trained). Higher ref resolution therefore buys nothing (measured: a
+#   192x256/f400 ref REGRESSED medians — more coarse cells, harder fit).
+REF_HW = (96, 128)
+CROP = 128
+K_REF = np.array([[200.0, 0, 64.0], [0, 200.0, 48.0], [0, 0, 1]], np.float32)
+K_TGT = np.array([[210.0, 0, 64.0], [0, 210.0, 48.0], [0, 0, 1]], np.float32)
+COMPACT = 0.3  # pipeline's compact_percent (eval_linemod_json.py:76-84)
+
+
+# ---------------------------------------------------------------------------
+# exact-geometry renderer: textured non-planar object, z-buffer point splat
+# ---------------------------------------------------------------------------
+
+
+def _object_cloud(rng, n=620):
+    """Textured bumpy 10cm plate: non-planar (so the essential matrix is
+    well-posed) with multi-scale texture (so the matcher has local detail)."""
+    import cv2
+
+    u = np.linspace(-0.05, 0.05, n)
+    uu, vv = np.meshgrid(u, u)
+    # ~25% relief: a flatter plate is quasi-planar and the E-matrix admits
+    # near-degenerate decompositions that flip R by tens of degrees on a
+    # few pairs (measured: 0.012 relief -> 10.6deg median, this -> ~5deg)
+    hh = 0.024 * np.sin(uu * 150) * np.cos(vv * 130) + 0.012 * np.sin(vv * 310)
+    pts = np.stack([uu, vv, hh], -1).reshape(-1, 3).astype(np.float32)
+    tex = rng.uniform(0, 255, (n, n, 3)).astype(np.float32)
+    tex = 0.6 * cv2.GaussianBlur(tex, (0, 0), 3.0) + 0.4 * cv2.GaussianBlur(tex, (0, 0), 1.0)
+    cols = np.clip(tex, 10, 245).reshape(-1, 3).astype(np.float32)
+    return pts, cols
+
+
+def _render(points, colors, pose, K, hw, rng, ss: int = 2):
+    """(H, W, 3) uint8 + (H, W) float depth: `ss`x supersampled point splat
+    with per-pixel averaging. Nearest-wins splatting made each pixel a
+    coin-flip between competing points, shimmering ~1px between views and
+    capping the matcher's sub-pixel accuracy at ~2px; averaging gives
+    view-consistent appearance (matcher noise ~1px -> pose medians halve)."""
+    H, W = hw
+    cam = points @ pose[:3, :3].T + pose[:3, 3]
+    z = cam[:, 2]
+    Ks = np.asarray(K, np.float64).copy()
+    Ks[:2] *= ss
+    pix = cam @ Ks.T
+    xi = np.round(pix[:, 0] / z).astype(np.int64)
+    yi = np.round(pix[:, 1] / z).astype(np.int64)
+    Hs, Ws = H * ss, W * ss
+    ok = (z > 1e-4) & (xi >= 0) & (xi < Ws) & (yi >= 0) & (yi < Hs)
+    flat = yi[ok] * Ws + xi[ok]
+    csum = np.zeros((Hs * Ws, 3), np.float64)
+    zsum = np.zeros(Hs * Ws, np.float64)
+    cnt = np.zeros(Hs * Ws, np.float64)
+    np.add.at(csum, flat, colors[ok].astype(np.float64))
+    np.add.at(zsum, flat, z[ok])
+    np.add.at(cnt, flat, 1.0)
+    hit = cnt > 0
+    img_hi = np.full((Hs * Ws, 3), 90.0)
+    img_hi[hit] = csum[hit] / cnt[hit, None]
+    depth_hi = np.zeros(Hs * Ws)
+    depth_hi[hit] = zsum[hit] / cnt[hit]
+    # box-downsample; a depth cell counts only if every subsample hit
+    img = img_hi.reshape(Hs, Ws, 3).reshape(H, ss, W, ss, 3).mean((1, 3))
+    d = depth_hi.reshape(H, ss, W, ss)
+    full = hit.reshape(H, ss, W, ss).all((1, 3))
+    depth = np.where(full, d.mean((1, 3)), 0.0).astype(np.float32)
+    img = img + rng.normal(0, 1.0, img.shape)  # faint sensor noise
+    return np.clip(img, 0, 255).astype(np.uint8), depth
+
+
+def _pose(rotvec, t):
+    import cv2
+
+    R, _ = cv2.Rodrigues(np.asarray(rotvec, np.float64))
+    return np.hstack([R, np.asarray(t, np.float64).reshape(3, 1)]).astype(np.float32)
+
+
+def _ref_pose():
+    return _pose([0.0, 0.0, 0.0], [0, 0, 0.25])
+
+
+def _tgt_pose(rng):
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    ang = np.deg2rad(rng.uniform(8, 22))
+    t = [rng.uniform(-0.015, 0.015), rng.uniform(-0.012, 0.012), rng.uniform(0.30, 0.36)]
+    return _pose(axis * ang, t)
+
+
+def _project_bbox(points, pose, K):
+    """Tight xyxy box of the projected cloud."""
+    cam = points @ pose[:3, :3].T + pose[:3, 3]
+    pix = cam @ np.asarray(K).T
+    xy = pix[:, :2] / pix[:, 2:3]
+    return np.array([xy[:, 0].min(), xy[:, 1].min(), xy[:, 0].max(), xy[:, 1].max()], np.float32)
+
+
+def _expand_xyxy(b, pct=COMPACT):
+    w, h = b[2] - b[0], b[3] - b[1]
+    dx, dy = np.floor(w * pct), np.floor(h * pct)
+    return np.array([b[0] - dx, b[1] - dy, b[2] + dx, b[3] + dy], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# training pairs: (full ref view, crop view rendered AT the crop intrinsics)
+# ---------------------------------------------------------------------------
+
+
+TGT_HW = (96, 128)  # the target "color_full" frame the eval path crops from
+
+
+def _train_pair(points, colors, rng):
+    """Render the reference view and the compact-expanded target crop. The
+    crop view renders DIRECTLY at K' = T.K (the exact pinhole geometry of
+    the pipeline's affine crop): sharper than the production crop warp, but
+    the matcher transfers across that resampling shift (measured), while
+    training on warp-resampled crops degraded fine precision enough to
+    double pose medians."""
+    from pope_tpu.geometry.affine import get_K_crop_resize
+
+    pose0, pose1 = _ref_pose(), _tgt_pose(rng)
+    img0, depth0 = _render(points, colors, pose0, K_REF, REF_HW, rng)
+    box = _expand_xyxy(_project_bbox(points, pose1, K_TGT))
+    K_crop = np.asarray(get_K_crop_resize(jnp.asarray(box), jnp.asarray(K_TGT), (CROP, CROP))[0])
+    img1, depth1 = _render(points, colors, pose1, K_crop, (CROP, CROP), rng)
+    T = np.eye(4, dtype=np.float32)
+    T[:3] = pose1
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3] = pose0
+    T_0to1 = T @ np.linalg.inv(T0)
+    return {
+        # ITU-R 601 luma — the EXACT gray conversion the production match
+        # stage applies (pose_pipeline._rgb01_to_gray); channel-mean gray
+        # is ~0.87-correlated with luma on random textures, a needless
+        # train/eval domain shift
+        "image0": (img0.astype(np.float32) @ np.array([0.299, 0.587, 0.114]))[..., None] / 255.0,
+        "image1": (img1.astype(np.float32) @ np.array([0.299, 0.587, 0.114]))[..., None] / 255.0,
+        "depth0": depth0,
+        "depth1": depth1,
+        "T_0to1": T_0to1.astype(np.float32),
+        "T_1to0": np.linalg.inv(T_0to1).astype(np.float32),
+        "K0": K_REF,
+        "K1": K_crop.astype(np.float32),
+    }
+
+
+def _train_matcher(points, colors, rng, steps=420, batch=4, n_pairs=12):
+    from pope_tpu.config import (
+        BackboneConfig, CoarseMatchConfig, LoFTRStageConfig, MatcherConfig,
+    )
+    from pope_tpu.models.matcher import Matcher
+    from pope_tpu.train import build_optimizer, matcher_train_step
+    from pope_tpu.train.optim import OptimConfig
+    from pope_tpu.train.trainer import init_matcher_train_state
+
+    mcfg = MatcherConfig(
+        backbone=BackboneConfig(initial_dim=24, block_dims=(24, 40, 64)),
+        coarse=LoFTRStageConfig(d_model=64, d_ffn=64, nhead=2,
+                                layer_names=("self", "cross", "self", "cross")),
+        fine=LoFTRStageConfig(d_model=24, d_ffn=24, nhead=2,
+                              layer_names=("self", "cross")),
+        match_coarse=CoarseMatchConfig(match_capacity=192),
+    )
+    matcher = Matcher(mcfg)
+    pairs = [_train_pair(points, colors, rng) for _ in range(n_pairs)]
+
+    def make_batch(idx):
+        sel = [pairs[i % n_pairs] for i in idx]
+        return {k: jnp.asarray(np.stack([p[k] for p in sel])) for k in sel[0]}
+
+    tx = build_optimizer(OptimConfig(lr=2e-3, warmup_steps=20,
+                                     scheduler="ExponentialLR", elr_gamma=0.999))
+    state = init_matcher_train_state(matcher, tx, jax.random.PRNGKey(0), make_batch([0, 1]))
+    step = jax.jit(lambda s, b: matcher_train_step(matcher, tx, s, b))
+    losses = []
+    for i in range(steps):
+        b = make_batch([(i * batch + j) % n_pairs for j in range(batch)])
+        state, metrics = step(state, b)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-20:]) < np.mean(losses[:20]), losses[::40]
+    return matcher, {"params": state.params, "batch_stats": state.batch_stats}, mcfg
+
+
+# ---------------------------------------------------------------------------
+# eval dataset on disk (LINEMOD layout) + candidate-injecting runner
+# ---------------------------------------------------------------------------
+
+
+def _write_eval_dataset(root, points, colors, rng, n_pairs=10):
+    import cv2
+
+    label, seq = "0801-lm1-others", "lm1-3"
+    base = os.path.join(root, "LM_dataset", label, seq)
+    for sub in ("color", "color_full", "intrin", "intrin_ba", "poses_ba"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    pairs = []
+    for i in range(n_pairs):
+        pose0, pose1 = _ref_pose(), _tgt_pose(rng)
+        img0, _ = _render(points, colors, pose0, K_REF, REF_HW, rng)
+        img1, _ = _render(points, colors, pose1, K_TGT, TGT_HW, rng)
+        cv2.imwrite(os.path.join(base, "color", f"{i}.png"), img0[..., ::-1])
+        cv2.imwrite(os.path.join(base, "color_full", f"{1000+i}.png"), img1[..., ::-1])
+        np.savetxt(os.path.join(base, "intrin_ba", f"{i}.txt"), K_REF)
+        np.savetxt(os.path.join(base, "intrin", f"{1000+i}.txt"), K_TGT)
+        np.savetxt(os.path.join(base, "poses_ba", f"{i}.txt"), pose0)
+        np.savetxt(os.path.join(base, "poses_ba", f"{1000+i}.txt"), pose1)
+        pairs.append(f"{label}/{seq}/color/{i}.png-{1000+i}.png")
+    # corner extents 1.28x the plate: the AP50 gate compares the projected
+    # corner rect against the COMPACT-EXPANDED (1.6x linear) candidate box
+    # (recall_object, eval_linemod_json.py:152-159) — on LINEMOD the 3-D
+    # bbox rect similarly exceeds the visible-mask box, which is what makes
+    # the reference's 0.84 AP50 geometrically possible
+    corners = np.array(
+        [[x, y, z] for x in (-0.064, 0.064) for y in (-0.064, 0.064) for z in (-0.02, 0.02)]
+    )
+    np.savetxt(os.path.join(root, "LM_dataset", label, "box3d_corners.txt"), corners)
+    pairs_dir = os.path.join(root, "pairs")
+    os.makedirs(pairs_dir, exist_ok=True)
+    with open(os.path.join(pairs_dir, "LINEMOD-test.json"), "w") as f:
+        json.dump([{"0": pairs}], f)
+    return root, pairs_dir
+
+
+def _make_candidate_runner(points):
+    """runner.run_pairs twin that injects candidate boxes (GT bbox + two
+    distractors) in place of the AMG stage; everything downstream is the
+    production fused program (see module docstring for why)."""
+    from pope_tpu.pipeline.runner import _load_pair_host, _record, _unpack_record, pair_keys_np
+
+    def run_pairs(models, paths_list, spec, hosts=None, dev=None, keys=None):
+        from pope_tpu.pipeline.runner import get_executor
+
+        if hosts is None:
+            hosts = [_load_pair_host(p) for p in paths_list]
+        executor = get_executor(models, spec.crop_size)
+        B = len(paths_list)
+        cand, valid = [], []
+        for h in hosts:
+            _, _, _, K1, _, pose1 = h
+            gt = _project_bbox(points, pose1[:3], K1)
+            gt_xywh = [gt[0], gt[1], gt[2] - gt[0], gt[3] - gt[1]]
+            cand.append([gt_xywh, [2.0, 2.0, 40.0, 40.0], [100.0, 60.0, 50.0, 50.0]])
+            valid.append([True, True, True])
+        img0 = jnp.asarray(np.stack([h[0] for h in hosts]).astype(np.uint8))
+        img1 = jnp.asarray(np.stack([h[1] for h in hosts]).astype(np.uint8))
+        K0_b = jnp.asarray(np.stack([h[2] for h in hosts]))
+        K1_b = jnp.asarray(np.stack([h[3] for h in hosts]))
+        keys = jnp.asarray(pair_keys_np(paths_list))
+        ref_cls = executor.prompt_cls_raw(img0)
+        run = executor.batched()
+        small, matches = run(
+            img0, img1, K0_b, K1_b,
+            jnp.asarray(np.asarray(cand, np.float32)),
+            jnp.asarray(np.asarray(valid)), ref_cls, keys, packed=True,
+        )
+        small_b, matches_b = jax.device_get((small, matches))
+        return [
+            _record(paths_list[i], hosts[i], _unpack_record(small_b[i], matches_b[i]))
+            for i in range(B)
+        ]
+
+    return run_pairs
+
+
+def test_trained_pipeline_accuracy(tmp_path):
+    import pope_tpu.eval.manifest as mf
+    from pope_tpu.config import AMGConfig, DinoV2Config, PipelineConfig
+    from pope_tpu.eval import DATASETS, evaluate_dataset
+    from pope_tpu.models.dinov2 import DinoVisionTransformer
+    from pope_tpu.pipeline.api import PopeModels
+
+    rng = np.random.default_rng(20231223)
+    points, colors = _object_cloud(rng)
+    matcher, m_vars, mcfg = _train_matcher(points, colors, rng)
+
+    dcfg = DinoV2Config(img_size=196, embed_dim=64, depth=2, num_heads=2)
+    dinov2 = DinoVisionTransformer(dcfg)
+    d_vars = dinov2.init(jax.random.PRNGKey(0), np.zeros((1, 196, 196, 3), np.float32))
+    # ransac_thresh_px is the reference's own exposed solver knob
+    # (estimate_pose(..., thresh), metrics.py:69): 0.5px assumes LoFTR-grade
+    # sub-pixel matches; the tiny overfit matcher here lands ~1px, so the
+    # threshold follows (otherwise <8 matches clear 0.5px and ok=False)
+    cfg = PipelineConfig(matcher=mcfg, dinov2=dcfg, amg=AMGConfig(),
+                         ransac_thresh_px=1.0)
+    models = PopeModels(
+        sam=None, sam_variables=None, dinov2=dinov2, dinov2_variables=d_vars,
+        matcher=matcher, matcher_variables=m_vars, amg=None, config=cfg,
+    )
+
+    data_root, pairs_dir = _write_eval_dataset(str(tmp_path), points, colors, rng)
+    spec = dataclasses.replace(DATASETS["linemod"], crop_size=CROP)
+    orig = mf.DATASETS["linemod"]
+    mf.DATASETS["linemod"] = spec
+    try:
+        per_obj = evaluate_dataset(
+            models, "linemod", data_root, pairs_dir, progress=False,
+            batch_size=2, run_pairs=_make_candidate_runner(points),
+        )
+    finally:
+        mf.DATASETS["linemod"] = orig
+
+    agg = per_obj[list(per_obj)[0]]
+    # the accuracy gate: a trained matcher + the assembled pipeline recovers
+    # pose well under the 90-degree failure penalty and the reference's own
+    # LINEMOD medians (15.5 deg R, BASELINE.md)
+    assert agg["R:medianErr"] < 10.0, agg
+    assert agg["AP50"] > 0.8, agg
+    assert agg["R:ACC15"] > 0.5, agg
