@@ -73,6 +73,10 @@ def flop_budget(models, n_candidates=None, crop_size=256):
     # self-attn + MLP run on ~5 prompt tokens and are negligible)
     two_way = 2 * 2 * (8 * n_tok * D * D)
     upscale = 2 * (4 * n_tok) * D * (D // 4) * 4 + 2 * (16 * n_tok) * (D // 4) * (D // 8) * 4
+    # the eval path's exact-subsample decode executes 1/sub^2 of the upscale
+    # FLOPs (decoder.UpConvT) — count what actually runs, not the full-res
+    # equivalent, so MFU stays honest
+    upscale /= float(cfg.amg.eval_decode_subsample) ** 2
     amg_decode = n_prompts * (two_way + upscale)
     # retrieval: DINOv2 ViT-S/14 on mask_capacity crops + 1 prompt; the
     # pipeline always center-crops to 196px -> 14x14 patches + cls

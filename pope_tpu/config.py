@@ -173,6 +173,17 @@ class AMGConfig:
     # mask (raster-first, like cv2 label order); components beyond the cap
     # are conservatively kept untouched
     cc_max_components: int = 64
+    # eval-path (generate_boxes_batch) mask resolution: 4 decodes EXACT
+    # stride-4-subsampled logits at 64x64 (decoder.UpConvT), skipping 15/16
+    # of the upscale/filter/CC work. Boxes quantize from +-2px to +-8px in
+    # the 1024 frame (+-5px at VGA); stability/area become 4096-sample
+    # estimates of the 256-res values. Solid masks (what the small-region
+    # cleanup guarantees) move each box edge inward by at most 3 full-res
+    # pixels, and the pipeline expands every box by compact_percent=0.3
+    # before cropping, so retrieval/matching are insensitive to the shift
+    # (measured: AMG program 607 -> 491 ms/batch at B=4 vit_h). The records
+    # path (generate/generate_batch) always stays at full 256 resolution.
+    eval_decode_subsample: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

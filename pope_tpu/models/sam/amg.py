@@ -13,6 +13,14 @@ top-`mask_capacity` selection instead of ragged RLE records. Masks stay as
 (capacity, 256, 256) low-res logits; boxes/stability are computed at low res
 and scaled (+-2px at VGA sizes vs the reference's full-res pass — well inside
 the AP50 IoU tolerance). RLE only exists at the host edge (ops/masks.py).
+
+The box-only eval path additionally decodes EXACT stride-4-subsampled mask
+logits at 64x64 (cfg.eval_decode_subsample, decoder.UpConvT: the 2x2-stride-2
+transposed convs never overlap so subpixel (0,0) is a plain matmul), skipping
+15/16 of the upscale/filter/CC work — measured 607 -> 491 ms per 4-pair AMG
+program at vit_h scale. Predicted IoU is resolution-independent, so candidate
+selection matches full res except borderline stability flips; record/demo
+paths keep full 256-res masks.
 """
 
 from __future__ import annotations
@@ -172,6 +180,7 @@ class AutomaticMaskGenerator:
                 lambda e: self._generate_impl(
                     variables, e[None], input_h=in_h, input_w=in_w,
                     orig_h=orig_h, orig_w=orig_w,
+                    subsample=self.cfg.eval_decode_subsample,
                 )
             )(embs)
             if self.cfg.min_mask_region_area > 0:
@@ -198,7 +207,10 @@ class AutomaticMaskGenerator:
 
     # ---- device path ----
 
-    def _generate_impl(self, variables, embeddings, input_h: int, input_w: int, orig_h: int, orig_w: int):
+    def _generate_impl(
+        self, variables, embeddings, input_h: int, input_w: int,
+        orig_h: int, orig_w: int, subsample: int = 1,
+    ):
         cfg = self.cfg
         n_points = cfg.points_per_side**2
         # grid points live in the original frame scaled by input/orig
@@ -226,7 +238,8 @@ class AutomaticMaskGenerator:
             masks, iou = jax.lax.map(
                 lambda pl: self.sam.apply(
                     variables, embeddings, pl[0], pl[1],
-                    multimask_output=True, method=self.sam.decode,
+                    multimask_output=True, subsample=subsample,
+                    method=self.sam.decode,
                 ),
                 (pts_c, lab_c),
             )  # (n_chunks, chunk, 3, 256, 256), (n_chunks, chunk, 3)
@@ -239,6 +252,7 @@ class AutomaticMaskGenerator:
                 pts,
                 labels,
                 multimask_output=True,
+                subsample=subsample,
                 method=self.sam.decode,
             )  # (P, 3, 256, 256), (P, 3)
 

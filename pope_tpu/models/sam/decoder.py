@@ -119,6 +119,48 @@ class TwoWayTransformer(nn.Module):
         return queries, keys
 
 
+class UpConvT(nn.Module):
+    """2x2-stride-2 transposed conv with an optional exact-subsample mode.
+
+    Param layout ('kernel' (2,2,in,out) + 'bias') and full-resolution numerics
+    are identical to nn.ConvTranspose(features, (2,2), strides=(2,2)) — the
+    torch converter and all full-res parity tests are unaffected.
+
+    Because kernel == stride the output blocks never overlap: output pixel
+    (2i+a, 2j+b) = x[i,j] @ kernel[1-a,1-b] + bias (lax.conv_transpose with
+    transpose_kernel=False flips the taps; verified numerically). So
+    `subsample=True` returns ONLY subpixel (0,0) — the exact stride-2
+    subsample of the full output — as a plain per-pixel matmul at 1/4 cost.
+    Chained through both decoder stages this yields exact stride-4-subsampled
+    mask logits at 64x64 (the AMG low-res filter/eval path)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, subsample: bool = False):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if subsample:
+            return jnp.einsum("bhwc,cf->bhwf", x, kernel[1, 1]) + bias
+        y = jax.lax.conv_transpose(
+            x,
+            kernel,
+            strides=(2, 2),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=False,
+        )
+        return y + bias
+
+
 class HyperMLP(nn.Module):
     """3-layer relu MLP (mask_decoder.py:160-176)."""
 
@@ -145,12 +187,24 @@ class MaskDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image_embeddings, image_pe, sparse_prompt, dense_prompt, multimask_output: bool = True):
+    def __call__(
+        self,
+        image_embeddings,
+        image_pe,
+        sparse_prompt,
+        dense_prompt,
+        multimask_output: bool = True,
+        subsample: int = 1,
+    ):
         """
         image_embeddings: (1 or B, h, w, C); image_pe: (h, w, C);
         sparse_prompt: (B, N, C); dense_prompt: (B, h, w, C).
         Returns (masks (B, K, 4h, 4w), iou_pred (B, K)) with K = 3 when
         multimask_output else 1.
+
+        subsample=4 returns the EXACT stride-4 subsample of the full-res mask
+        logits as (B, K, h, w), skipping 15/16 of the upscale compute (see
+        UpConvT) — iou_pred is unchanged. Only 1 and 4 are supported.
         """
         C = self.transformer_dim
         num_mask_tokens = self.num_multimask_outputs + 1
@@ -172,12 +226,15 @@ class MaskDecoder(nn.Module):
         iou_out = hs[:, 0]
         mask_out = hs[:, 1 : 1 + num_mask_tokens]
 
+        if subsample not in (1, 4):
+            raise ValueError(f"subsample must be 1 or 4, got {subsample}")
+        sub = subsample == 4
         src2 = keys.reshape(B, h, w, C)
-        up = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2), dtype=self.dtype, name="up_conv1")(src2)
+        up = UpConvT(C // 4, dtype=self.dtype, name="up_conv1")(src2, subsample=sub)
         up = LayerNorm2d(C // 4, name="up_ln")(up)
         up = nn.gelu(up, approximate=False)
-        up = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2), dtype=self.dtype, name="up_conv2")(up)
-        up = nn.gelu(up, approximate=False)  # (B, 4h, 4w, C/8)
+        up = UpConvT(C // 8, dtype=self.dtype, name="up_conv2")(up, subsample=sub)
+        up = nn.gelu(up, approximate=False)  # (B, 4h, 4w, C/8); sub: (B, h, w, C/8)
 
         hyper = jnp.stack(
             [

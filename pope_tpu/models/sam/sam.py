@@ -89,9 +89,12 @@ class Sam(nn.Module):
         labels,
         masks_input=None,
         multimask_output: bool = True,
+        subsample: int = 1,
     ):
         """points: (B, N, 2) coords in the 1024-frame; labels: (B, N).
-        Returns (low_res_masks (B, K, 256, 256), iou_pred (B, K))."""
+        Returns (low_res_masks (B, K, 256, 256), iou_pred (B, K)).
+        subsample=4: exact stride-4-subsampled logits (B, K, 64, 64) at 1/16
+        the upscale cost (decoder.UpConvT)."""
         sparse, dense = self.prompt_encoder(points, labels, masks_input)
         masks, iou = self.mask_decoder(
             image_embeddings,
@@ -99,6 +102,7 @@ class Sam(nn.Module):
             sparse,
             dense,
             multimask_output=multimask_output,
+            subsample=subsample,
         )
         return masks, iou
 

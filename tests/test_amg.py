@@ -123,6 +123,10 @@ def test_generate_boxes_batch_matches_host_postproc(amg, rng):
     cfg = AMGConfig(
         points_per_side=4, pred_iou_thresh=-10.0, stability_score_thresh=0.0,
         mask_capacity=16, min_mask_region_area=40, cc_max_components=2048,
+        # the host twin always decodes at full res; pin the device path to
+        # full res too (the subsampled eval mode is covered by
+        # test_eval_path_subsample_selects_same_candidates)
+        eval_decode_subsample=1,
     )
     gen = AutomaticMaskGenerator(amg.sam, amg.variables, cfg, TEST_CFG)
 
@@ -140,6 +144,61 @@ def test_generate_boxes_batch_matches_host_postproc(amg, rng):
             np.testing.assert_allclose(
                 dev_xywh[i][host_valid], host_xywh, atol=1e-3, err_msg=f"img {i}"
             )
+
+
+def test_decode_subsample_exact(amg, rng):
+    """decoder.UpConvT subsample mode: subsample=4 mask logits must equal the
+    EXACT stride-4 subsample of the full-res logits (the 2x2-stride-2
+    transposed convs never overlap, so subpixel (0,0) is a plain matmul) and
+    iou_pred must be untouched."""
+    import jax
+
+    img = rng.uniform(0, 255, (128, 128, 3)).astype(np.uint8)
+    emb = amg._encode_jit(np.asarray(img)[None], 128, 128)
+    pts = jnp.asarray(rng.uniform(20, 100, (5, 1, 2)), jnp.float32)
+    labels = jnp.ones((5, 1), jnp.int32)
+    full, iou_full = jax.jit(
+        lambda e, p, l: amg.sam.apply(
+            amg.variables, e, p, l, multimask_output=True, method=amg.sam.decode
+        )
+    )(emb, pts, labels)
+    sub, iou_sub = jax.jit(
+        lambda e, p, l: amg.sam.apply(
+            amg.variables, e, p, l, multimask_output=True, subsample=4,
+            method=amg.sam.decode,
+        )
+    )(emb, pts, labels)
+    assert sub.shape == full[..., ::4, ::4].shape
+    np.testing.assert_allclose(
+        np.asarray(sub), np.asarray(full)[..., ::4, ::4], atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(iou_sub), np.asarray(iou_full), atol=1e-6)
+
+
+def test_eval_path_subsample_selects_same_candidates(amg, rng):
+    """With the score filters permissive and NMS off, the subsampled eval
+    path must select the same candidate set as the full-res one: predicted
+    IoU is resolution-independent, so the top-capacity IoU ranking agrees."""
+    imgs = rng.uniform(0, 255, (1, 96, 128, 3)).astype(np.uint8)
+    kw = dict(
+        points_per_side=4, pred_iou_thresh=-10.0, stability_score_thresh=0.0,
+        mask_capacity=8, min_mask_region_area=0, box_nms_thresh=1.5,
+    )
+    gen_full = AutomaticMaskGenerator(
+        amg.sam, amg.variables, AMGConfig(**kw), TEST_CFG
+    )
+    gen_sub = AutomaticMaskGenerator(
+        amg.sam, amg.variables, AMGConfig(eval_decode_subsample=4, **kw), TEST_CFG
+    )
+    xf, vf, _ = (np.asarray(a) for a in gen_full.generate_boxes_batch(imgs))
+    xs, vs, _ = (np.asarray(a) for a in gen_sub.generate_boxes_batch(imgs))
+    np.testing.assert_array_equal(vf, vs)
+    # boxes agree to the subsample quantization. For a solid mask the low-res
+    # box moves inward at most 3 full-res pixels per edge; untrained-SAM
+    # speckle is the worst case for this bound, so allow a few grid steps
+    # (deterministic under the seeded rng fixture).
+    if vf.any():
+        assert np.abs(xs[vf] - xf[vf]).max() <= 25.0
 
 
 @pytest.mark.slow
