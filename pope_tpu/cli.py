@@ -146,6 +146,14 @@ def cmd_test_regressor(args):
 def cmd_train_ssl(args):
     from pope_tpu.train.ssl_driver import train_main
 
+    if getattr(args, "distributed", False):
+        from pope_tpu.parallel.launch import initialize, resolve_env
+
+        initialize(resolve_env(
+            coordinator=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        ))
     train_main(args)
 
 
@@ -246,6 +254,16 @@ def main(argv=None):
     pssl.add_argument("--ckpt-dir", default=None)
     pssl.add_argument("--ckpt-every", type=int, default=1000)
     pssl.add_argument("--seed", type=int, default=0)
+    pssl.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: bootstrap jax.distributed from POPE_*/SLURM env "
+        "before training (parallel/launch.py; every pod host runs the same "
+        "command)",
+    )
+    pssl.add_argument("--coordinator", default=None,
+                      help="host:port of process 0 (overrides env)")
+    pssl.add_argument("--num-processes", type=int, default=None)
+    pssl.add_argument("--process-id", type=int, default=None)
     pssl.set_defaults(fn=cmd_train_ssl)
 
     pnv = sub.add_parser(

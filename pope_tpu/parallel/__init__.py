@@ -12,3 +12,8 @@ from pope_tpu.parallel.mesh import (
     shard_params_tp,
     replicate,
 )
+from pope_tpu.parallel.launch import (
+    DistributedEnv,
+    launch,
+    resolve_env,
+)

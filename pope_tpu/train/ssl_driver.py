@@ -42,13 +42,24 @@ def iter_image_files(root: str):
 
 
 def make_ssl_batches(image_root: str, cfg: SSLConfig, batch_size: int,
-                     seed: int = 0, num_workers: int = 4) -> Iterator[dict]:
-    """Endless epoch stream of collated multi-crop batches (host numpy)."""
+                     seed: int = 0, num_workers: int = 4,
+                     rank: int = 0, world: int = 1) -> Iterator[dict]:
+    """Endless epoch stream of collated multi-crop batches (host numpy).
+
+    Multi-host (rank/world from jax.process_*): each host streams a disjoint
+    file shard (data/scenes.get_local_split semantics) at the PER-HOST batch
+    size, and the augmentation/mask seed stream is decorrelated per rank —
+    the reference gets both from torch DistributedSampler + per-worker
+    seeding (dinov2/data/loaders.py)."""
     import cv2
 
     files = list(iter_image_files(image_root))
     if not files:
         raise FileNotFoundError(f"no images under {image_root}")
+    if world > 1:
+        from pope_tpu.data.scenes import get_local_split
+
+        files = list(get_local_split(files, world, rank, seed=seed))
     crop_cfg = MultiCropConfig(
         global_crop_size=cfg.global_crop_size,
         local_crop_size=cfg.local_crop_size,
@@ -61,7 +72,7 @@ def make_ssl_batches(image_root: str, cfg: SSLConfig, batch_size: int,
         # stream and iBOT masks must all advance across epochs (the
         # reference reseeds per step via its dataloader workers) — a fixed
         # seed here would replay identical augmentations every epoch.
-        es = seed + 1_000_003 * epoch
+        es = seed + 1_000_003 * epoch + 7919 * rank
         rng = np.random.default_rng(es)
         aug = DataAugmentationDINO(crop_cfg, seed=es)
         gen = MaskingGenerator(input_size=n_tokens_side, seed=es)
@@ -118,19 +129,54 @@ def train_ssl(image_root: str,
         state = shard_ssl_state(state, mesh)
         step_fn = make_sharded_ssl_step(arch, mesh, mults=mults)
 
-        def put(batch):
-            return {
-                k: jax.device_put(
-                    v, NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1))))
-                )
-                for k, v in batch.items()
-            }
+        if jax.process_count() > 1:
+            # multi-host: every host holds 1/process_count of the batch; the
+            # global dp-sharded array is assembled without any cross-host
+            # data movement (each shard already lives on its host's devices)
+            def put(batch):
+                return {
+                    k: jax.make_array_from_process_local_data(
+                        NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1)))), v
+                    )
+                    for k, v in batch.items()
+                }
+        else:
+            def put(batch):
+                return {
+                    k: jax.device_put(
+                        v, NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1))))
+                    )
+                    for k, v in batch.items()
+                }
     else:
         step_fn = jax.jit(lambda s, b: arch.train_step(s, b, mults=mults))
         put = lambda batch: batch
 
     total = total_steps if total_steps is not None else cfg.total_iters
-    batches = make_ssl_batches(image_root, cfg, batch_size, seed=seed)
+    nproc = jax.process_count()
+    if batch_size % max(nproc, 1):
+        raise ValueError(f"batch_size {batch_size} must divide process count {nproc}")
+    batches = make_ssl_batches(
+        image_root, cfg, batch_size // max(nproc, 1), seed=seed,
+        rank=jax.process_index(), world=nproc,
+    )
+    def save(name, st):
+        # multi-host: the FSDP-sharded state is not host-addressable — first
+        # replicate it (an all-gather every host participates in), then only
+        # process 0 touches the filesystem
+        if nproc > 1 and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            st = jax.jit(
+                lambda s: s,
+                out_shardings=jax.tree_util.tree_map(
+                    lambda _: NamedSharding(mesh, P()), st
+                ),
+            )(st)
+            if jax.process_index() != 0:
+                return
+        save_checkpoint(os.path.join(ckpt_dir, name), st)
+
     t0 = time.time()
     start = int(state.step)
     for i in range(start, total):
@@ -145,9 +191,9 @@ def train_ssl(image_root: str,
                 m.get("koleo_loss", 0.0), m["lr"], (time.time() - t0) / max(i + 1 - start, 1),
             )
         if ckpt_dir and (i + 1) % ckpt_every == 0:
-            save_checkpoint(os.path.join(ckpt_dir, f"step_{i + 1:08d}"), state)
+            save(f"step_{i + 1:08d}", state)
     if ckpt_dir:
-        save_checkpoint(os.path.join(ckpt_dir, f"step_{total:08d}"), state)
+        save(f"step_{total:08d}", state)
     return state
 
 
