@@ -184,11 +184,12 @@ class AutomaticMaskGenerator:
                 )
             )(embs)
             if self.cfg.min_mask_region_area > 0:
+                S = self.sam_cfg.encoder.img_size
                 boxes, valid = jax.vmap(
                     lambda m, v, b: postprocess_small_regions_device(
                         m, v, self.cfg.min_mask_region_area, (orig_h, orig_w),
                         self.cfg.box_nms_thresh, k=self.cfg.cc_max_components,
-                        orig_boxes=b,
+                        orig_boxes=b, input_hw=(in_h, in_w), frame_px_hw=(S, S),
                     )
                 )(res.masks_low_res > MASK_THRESHOLD, res.valid, res.boxes)
             else:
@@ -397,6 +398,7 @@ class AutomaticMaskGenerator:
                 r = postprocess_small_regions_host(
                     r, self.cfg.min_mask_region_area, (orig_h, orig_w),
                     self.cfg.box_nms_thresh, binmasks=binm_b[i],
+                    input_hw=(in_h, in_w), frame_px_hw=(S, S),
                 )
             return r
 
@@ -437,9 +439,33 @@ def _nms_host(boxes: np.ndarray, scores: np.ndarray, thresh: float, valid: np.nd
     return keep
 
 
+def _low_res_frame_maps(low_hw, orig_hw, input_hw, frame_px_hw):
+    """Coordinate/area maps for a low-res mask grid.
+
+    The (low_h, low_w) mask grid covers `frame_px_hw` input-frame pixels
+    (the padded square (S, S) on the standard path); image content occupies
+    `input_hw` of the frame and corresponds to `orig_hw` original pixels.
+    Returns (xyxy low->orig scale (4,), xyxy input-frame content clamp (4,),
+    xyxy input->orig scale (4,), orig-area -> low-area factor).
+
+    NOTE the low->orig path goes THROUGH the input frame: a naive orig/low
+    factor is wrong whenever orig is non-square (the frame is square), which
+    is exactly the LINEMOD/YCBV 640x480 case.
+    """
+    low_h, low_w = low_hw
+    oh, ow = orig_hw
+    in_h, in_w = input_hw
+    fh, fw = frame_px_hw
+    to_input = jnp.asarray([fw / low_w, fh / low_h, fw / low_w, fh / low_h], jnp.float32)
+    lim = jnp.asarray([in_w, in_h, in_w, in_h], jnp.float32)
+    inv = jnp.asarray([ow / in_w, oh / in_h, ow / in_w, oh / in_h], jnp.float32)
+    area_scale = (low_h * in_h / (fh * oh)) * (low_w * in_w / (fw * ow))
+    return to_input, lim, inv, float(area_scale)
+
+
 def postprocess_small_regions_device(
     binmasks, valid, min_area: int, orig_hw, box_nms_thresh: float = 0.35,
-    k: int = 64, orig_boxes=None,
+    k: int = 64, orig_boxes=None, input_hw=None, frame_px_hw=None,
 ):
     """On-device twin of postprocess_small_regions_host (jit/vmap-safe):
     hole-fill + small-island removal via ops.components.clean_mask, box
@@ -447,18 +473,26 @@ def postprocess_small_regions_device(
     AMG products — ((C, 4) xyxy boxes in original coords, (C,) valid) —
     without any mask ever leaving the device.
 
-    binmasks: (C, low, low) bool; min_area in ORIGINAL-image pixels
-    (rescaled to low-res units exactly like the host path)."""
-    low = binmasks.shape[-1]
-    oh, ow = orig_hw
-    scale = (low * low) / float(oh * ow)
-    min_area_low = max(int(round(min_area * scale)), 1)
+    binmasks: (C, low_h, low_w) bool; min_area in ORIGINAL-image pixels
+    (rescaled to low-res units exactly like the host path). input_hw /
+    frame_px_hw describe the geometry (see _low_res_frame_maps); both
+    default to the square-frame assumption orig==input==frame for
+    backward compatibility with square images."""
+    low_hw = binmasks.shape[-2:]
+    if input_hw is None:
+        input_hw = orig_hw
+    if frame_px_hw is None:
+        frame_px_hw = input_hw
+    to_input, lim, inv, area_scale = _low_res_frame_maps(
+        low_hw, orig_hw, input_hw, frame_px_hw
+    )
+    min_area_low = max(int(round(min_area * area_scale)), 1)
     # invalid candidates are blanked so their (garbage) masks converge in one
     # labelling sweep; their boxes/changed flags are never consumed
     masks = binmasks & valid[:, None, None]
     out_masks, changed = jax.vmap(lambda m: clean_mask(m, min_area_low, k=k))(masks)
     boxes_low = batched_mask_to_box(out_masks)
-    boxes = boxes_low * jnp.asarray([ow, oh, ow, oh], jnp.float32) / low
+    boxes = jnp.clip(boxes_low * to_input, 0.0, lim) * inv
     if orig_boxes is not None:
         # Keep the full-resolution original boxes for untouched masks: only
         # masks actually changed by hole-fill/island-removal get the
@@ -473,7 +507,7 @@ def postprocess_small_regions_device(
 
 def postprocess_small_regions_host(
     result: AMGResult, min_area: int, orig_hw, box_nms_thresh: float = 0.35,
-    binmasks: np.ndarray | None = None,
+    binmasks: np.ndarray | None = None, input_hw=None, frame_px_hw=None,
 ) -> AMGResult:
     """Host-edge small-region cleanup (automatic_mask_generator.py:323-372):
     fill holes and drop islands below `min_area` (in ORIGINAL-image pixels),
@@ -485,17 +519,24 @@ def postprocess_small_regions_host(
     dispatches on the production path.
 
     binmasks: optional precomputed (C, low, low) uint8/bool binarization of
-    result.masks_low_res (saves transferring f32 logits).
+    result.masks_low_res (saves transferring f32 logits). input_hw /
+    frame_px_hw: see _low_res_frame_maps (default: square-frame assumption).
     """
     if binmasks is None:
         masks = np.asarray(result.masks_low_res) > MASK_THRESHOLD
     else:
         masks = np.asarray(binmasks).astype(bool)
     valid = np.asarray(result.valid)
-    low = masks.shape[-1]
     oh, ow = orig_hw
+    if input_hw is None:
+        input_hw = orig_hw
+    if frame_px_hw is None:
+        frame_px_hw = input_hw
+    to_input, lim, inv, scale = _low_res_frame_maps(
+        masks.shape[-2:], orig_hw, input_hw, frame_px_hw
+    )
+    to_input, lim, inv = (np.asarray(a) for a in (to_input, lim, inv))
     # low-res pixel area equivalent of min_area original pixels
-    scale = (low * low) / float(oh * ow)
     min_area_low = max(int(round(min_area * scale)), 1)
 
     from pope_tpu import native
@@ -511,7 +552,7 @@ def postprocess_small_regions_host(
         changed[i] = ch1 or ch2
 
     boxes_low = _mask_to_box_np(out_masks)
-    boxes = (boxes_low * np.array([ow, oh, ow, oh]) / low).astype(np.float32)
+    boxes = (np.clip(boxes_low * to_input, 0.0, lim) * inv).astype(np.float32)
     # prefer unchanged masks in NMS (reference scores untouched as 1.0, :360)
     scores = np.where(changed, 0.0, 1.0).astype(np.float32)
     keep = _nms_host(boxes, scores, box_nms_thresh, valid)

@@ -90,6 +90,56 @@ def test_postprocess_small_regions():
     assert abs(b[0] - 10) < 1.5 and abs(b[2] - 39) < 1.5
 
 
+def test_postprocess_boxes_nonsquare():
+    """Regression: recomputed boxes on NON-SQUARE images must map low-res
+    coords through the padded input frame, not directly by orig/low (the
+    naive factor compresses y by input_h/S for a 640x480 LINEMOD frame).
+    Host and device twins must agree with the exact mapping."""
+    import jax.numpy as jnp
+
+    from pope_tpu.models.sam.amg import (
+        AMGResult,
+        postprocess_small_regions_device,
+        postprocess_small_regions_host,
+    )
+
+    # geometry of the shipped vit_h eval: orig 480x640 (h, w), input 768x1024
+    # in the padded 1024x1024 frame, low-res masks at 64 (subsampled decode)
+    orig_hw, input_hw, S, L = (480, 640), (768, 1024), 1024, 64
+    C = 2
+    logits = np.full((C, L, L), -5.0, np.float32)
+    # content occupies low-res rows [0, 48): a blob near the content bottom,
+    # with a 1-px hole so the cleanup marks it 'changed' (recomputed box)
+    logits[0, 24:46, 8:32] = 5.0
+    logits[0, 30, 16] = -5.0
+    res = AMGResult(
+        masks_low_res=jnp.asarray(logits),
+        boxes=jnp.zeros((C, 4)),
+        iou_preds=jnp.ones(C),
+        stability=jnp.ones(C),
+        areas=jnp.zeros(C),
+        valid=jnp.asarray([True, False]),
+    )
+    # exact mapping: low px -> input px (x16) -> orig (x 480/768 = 640/1024);
+    # max edges are INCLUSIVE pixel indices (batched_mask_to_box semantics)
+    exp = np.array([8 * 16, 24 * 16, 31 * 16, 45 * 16], np.float32) * (480 / 768)
+    out = postprocess_small_regions_host(
+        res, min_area=300, orig_hw=orig_hw, input_hw=input_hw, frame_px_hw=(S, S)
+    )
+    got_h = np.asarray(out.boxes[0])
+    assert np.allclose(got_h, exp, atol=1.0), (got_h, exp)
+    boxes_d, valid_d = postprocess_small_regions_device(
+        jnp.asarray(logits) > 0.0, res.valid, 300, orig_hw,
+        input_hw=input_hw, frame_px_hw=(S, S),
+        orig_boxes=jnp.zeros((C, 4)),
+    )
+    got_d = np.asarray(boxes_d[0])
+    assert bool(valid_d[0])
+    assert np.allclose(got_d, exp, atol=1.0), (got_d, exp)
+    # the old orig/low factor would put the bottom edge at 45*480/64 = 337
+    assert abs(exp[3] - 45 * 16 * 480 / 768) < 1e-3 and exp[3] > 400
+
+
 def test_amg_records_format(amg, rng):
     from pope_tpu.models.sam.amg import amg_records
     from pope_tpu.models.sam.sam import resize_longest_side
