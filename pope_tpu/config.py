@@ -184,6 +184,17 @@ class AMGConfig:
     # (measured: AMG program 607 -> 491 ms/batch at B=4 vit_h). The records
     # path (generate/generate_batch) always stays at full 256 resolution.
     eval_decode_subsample: int = 4
+    # rect-encode: pad non-square frames only to patch multiples instead of
+    # the full square — a 640x480 frame encodes a 48x64 token grid (25% fewer
+    # encoder tokens; windowed layers drop whole pure-padding windows, the
+    # global layers attend over 3072 instead of 4096 tokens). Content tokens
+    # see the identical pos-embed / rel-pos / dense-PE parameters (sliced,
+    # not interpolated); the only difference vs the reference's square frame
+    # is that zero-padding tokens no longer participate in attention / the
+    # neck convs — which the reference itself discards downstream. Square
+    # images are unaffected (frame == square), so oracle parity holds there;
+    # set False for square-frame-exact compute on non-square images too.
+    rect_encode: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -76,6 +76,18 @@ class AutomaticMaskGenerator:
         self.cfg = cfg
         self.sam_cfg = sam_cfg
         self._grid01 = jnp.asarray(build_point_grid(cfg.points_per_side), jnp.float32)
+
+        def _frame_hw(in_h: int, in_w: int):
+            # encode frame for a resized content extent: square (reference
+            # semantics) or the patch-aligned rect (cfg.rect_encode)
+            from pope_tpu.models.sam.sam import rect_frame
+
+            S = self.sam_cfg.encoder.img_size
+            if self.cfg.rect_encode:
+                return rect_frame((in_h, in_w), self.sam_cfg.encoder.patch_size)
+            return (S, S)
+
+        self._frame_hw = _frame_hw
         _jit = jax.jit(
             self._generate_impl, static_argnames=("input_h", "input_w", "orig_h", "orig_w")
         )
@@ -99,21 +111,23 @@ class AutomaticMaskGenerator:
         self._generate_batched_jit = lambda embs, **kw: _jit_b(self.variables, embs, **kw)
 
         def _encode(variables, images, in_h: int, in_w: int):
-            # (B, H, W, 3) RGB uint8/float [0,255] -> (B, 64, 64, 256).
-            # Longest-side resize + preprocess (normalize + pad-to-square)
-            # fuse into the encoder program: the production path uploads the
-            # raw uint8 frame ONCE and is ONE dispatch per batch. The
-            # antialiased bilinear resize matches the reference's PIL path
+            # (B, H, W, 3) RGB uint8/float [0,255] -> (B, gh, gw, 256).
+            # Longest-side resize + preprocess (normalize + pad) fuse into
+            # the encoder program: the production path uploads the raw uint8
+            # frame ONCE and is ONE dispatch per batch. The antialiased
+            # bilinear resize matches the reference's PIL path
             # (utils/transforms.py:30-36) more closely than host cv2
-            # INTER_LINEAR did.
+            # INTER_LINEAR did. cfg.rect_encode pads only to patch multiples
+            # (48x64 grid for VGA) instead of the square frame.
             imgs = jnp.asarray(images, jnp.float32)
             if images.shape[1:3] != (in_h, in_w):
                 imgs = jax.image.resize(
                     imgs, (imgs.shape[0], in_h, in_w, 3), method="bilinear", antialias=True
                 )
+            frame = self._frame_hw(in_h, in_w)
             pre = jax.vmap(
                 lambda im: self.sam.apply(
-                    variables, im, (in_h, in_w), method=self.sam.preprocess
+                    variables, im, (in_h, in_w), frame, method=self.sam.preprocess
                 )[0]
             )(imgs)
             return self.sam.apply(variables, pre, method=self.sam.encode_image)
@@ -184,12 +198,12 @@ class AutomaticMaskGenerator:
                 )
             )(embs)
             if self.cfg.min_mask_region_area > 0:
-                S = self.sam_cfg.encoder.img_size
+                frame = self._frame_hw(in_h, in_w)
                 boxes, valid = jax.vmap(
                     lambda m, v, b: postprocess_small_regions_device(
                         m, v, self.cfg.min_mask_region_area, (orig_h, orig_w),
                         self.cfg.box_nms_thresh, k=self.cfg.cc_max_components,
-                        orig_boxes=b, input_hw=(in_h, in_w), frame_px_hw=(S, S),
+                        orig_boxes=b, input_hw=(in_h, in_w), frame_px_hw=frame,
                     )
                 )(res.masks_low_res > MASK_THRESHOLD, res.valid, res.boxes)
             else:
@@ -268,27 +282,23 @@ class AutomaticMaskGenerator:
         keep &= stability >= cfg.stability_score_thresh
 
         binmask = masks > MASK_THRESHOLD
-        # boxes at low resolution (256 covers the full padded 1024 frame)
-        boxes_low = batched_mask_to_box(binmask)  # (C, 4) in 256-frame
-        S = self.sam_cfg.encoder.img_size
-        low = masks.shape[-1]
-        to_input = S / low  # 256-frame -> 1024-frame
-        boxes_input = boxes_low * to_input
-        # clamp to the unpadded input extent: logits can activate inside the
-        # square padding, which would otherwise push boxes past the image
-        lim = jnp.asarray([input_w, input_h, input_w, input_h], jnp.float32)
-        boxes_input = jnp.clip(boxes_input, 0.0, lim)
-        # strip padding and scale to original coords
-        inv_scale = jnp.asarray(
-            [orig_w / input_w, orig_h / input_h, orig_w / input_w, orig_h / input_h],
-            jnp.float32,
+        # boxes at low resolution; the mask grid covers the encode frame
+        # (square: (S, S); rect-encode: the patch-aligned content frame),
+        # whose pixel extent is low * patch * subsample / 4 per axis
+        boxes_low = batched_mask_to_box(binmask)  # (C, 4) in mask-grid units
+        patch = self.sam_cfg.encoder.patch_size
+        px_per_cell = patch * subsample // 4  # 4 for full-res, 16 subsampled
+        frame_px = (masks.shape[-2] * px_per_cell, masks.shape[-1] * px_per_cell)
+        # low -> input-frame px, clamp to the unpadded content extent (logits
+        # can activate inside the padding, which would otherwise push boxes
+        # past the image), then strip padding and scale to original coords
+        to_input, lim, inv_scale, area_scale = _low_res_frame_maps(
+            masks.shape[-2:], (orig_h, orig_w), (input_h, input_w), frame_px
         )
-        boxes = boxes_input * inv_scale
+        boxes = jnp.clip(boxes_low * to_input, 0.0, lim) * inv_scale
 
-        # drop boxes touching the (padded) input edge region like the
-        # reference's crop-edge filter (:312: is_box_near_crop_edge)
         area_low = jnp.sum(binmask, axis=(-2, -1)).astype(jnp.float32)
-        areas = area_low * to_input * to_input * inv_scale[0] * inv_scale[1]
+        areas = area_low / area_scale
         keep &= area_low > 0
 
         keep_nms = nms(boxes, iou, cfg.box_nms_thresh, valid=keep)  # :251
@@ -398,7 +408,7 @@ class AutomaticMaskGenerator:
                 r = postprocess_small_regions_host(
                     r, self.cfg.min_mask_region_area, (orig_h, orig_w),
                     self.cfg.box_nms_thresh, binmasks=binm_b[i],
-                    input_hw=(in_h, in_w), frame_px_hw=(S, S),
+                    input_hw=(in_h, in_w), frame_px_hw=self._frame_hw(in_h, in_w),
                 )
             return r
 

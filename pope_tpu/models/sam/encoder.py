@@ -47,8 +47,19 @@ class LayerNorm2d(nn.Module):
 
 
 def _rel_pos_table(rel_pos, q_size: int, k_size: int):
-    """Index the (2*max(q,k)-1, d) table at relative coords
-    (image_encoder.py:292-325; equal q/k sizes in this pipeline)."""
+    """Index the (2*T-1, d) table at relative coords
+    (image_encoder.py:292-325; equal q/k sizes in this pipeline).
+
+    For q_size == k_size the table's center entry is zero displacement, so a
+    sub-grid (q_size <= T, the rect-encode eval mode) slices the EXACT
+    displacement entries the square-frame compute would use for those token
+    pairs. (The reference never hits sub-grid sizes — it always pads to the
+    square frame — so its length-interpolation branch is not the spec here.)
+    """
+    if q_size == k_size:
+        center = (rel_pos.shape[0] - 1) // 2
+        rel = jnp.arange(q_size)[:, None] - jnp.arange(k_size)[None, :] + center
+        return rel_pos[rel]  # (q, k, d)
     q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
     k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
     rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
@@ -170,7 +181,14 @@ class EncoderBlock(nn.Module):
 
 
 class ImageEncoderViT(nn.Module):
-    """(B, 1024, 1024, 3) preprocessed image -> (B, 64, 64, out_chans)."""
+    """(B, 1024, 1024, 3) preprocessed image -> (B, 64, 64, out_chans).
+
+    Also accepts RECT frames (B, fh, fw, 3) with fh/fw multiples of the patch
+    size and <= img_size (the rect-encode eval mode: a 640x480 frame resized
+    to 1024x768 encodes a 48x64 grid — 25% fewer tokens than the square
+    frame, which spends them on pure padding). Abs pos embed and the global
+    rel-pos tables are sliced, not interpolated, so content tokens see the
+    identical per-position parameters the square frame would give them."""
 
     config: SamEncoderConfig = SamEncoderConfig()
 
@@ -187,7 +205,8 @@ class ImageEncoderViT(nn.Module):
         pos_embed = self.param(
             "pos_embed", nn.initializers.zeros, (1, grid, grid, cfg.embed_dim)
         )
-        x = x + pos_embed.astype(x.dtype)
+        gh, gw = x.shape[1:3]
+        x = x + pos_embed[:, :gh, :gw].astype(x.dtype)
 
         for i in range(cfg.depth):
             x = EncoderBlock(

@@ -26,11 +26,17 @@ def random_position_embedding(gaussian_matrix, coords01):
     return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
 
-def dense_grid_pe(gaussian_matrix, hw: Tuple[int, int]):
-    """(H, W, C) dense PE over pixel-center grid (prompt_encoder.py:196-207)."""
+def dense_grid_pe(gaussian_matrix, hw: Tuple[int, int], norm_hw: Optional[Tuple[int, int]] = None):
+    """(H, W, C) dense PE over pixel-center grid (prompt_encoder.py:196-207).
+
+    norm_hw (default hw) sets the normalization grid: a RECT (gh, gw) grid
+    normalized by the full square grid yields the exact top-left slice of the
+    square dense PE, keeping rect-encode embeddings consistent with point
+    coords normalized by the square input frame."""
     h, w = hw
-    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    nh, nw = hw if norm_hw is None else norm_hw
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / nh
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / nw
     grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (h, w, 2)
     return random_position_embedding(gaussian_matrix, grid)
 
@@ -69,10 +75,13 @@ class PromptEncoder(nn.Module):
         self.mask_ln1 = nn.LayerNorm(epsilon=1e-6, name="mask_ln1")
         self.mask_ln2 = nn.LayerNorm(epsilon=1e-6, name="mask_ln2")
 
-    def get_dense_pe(self):
-        return dense_grid_pe(self.gaussian, self.image_embedding_size)  # (h, w, C)
+    def get_dense_pe(self, hw: Optional[Tuple[int, int]] = None):
+        """(h, w, C); a rect `hw` sub-grid slices the square PE exactly."""
+        return dense_grid_pe(
+            self.gaussian, hw or self.image_embedding_size, self.image_embedding_size
+        )
 
-    def __call__(self, points, labels, masks=None):
+    def __call__(self, points, labels, masks=None, embed_hw: Optional[Tuple[int, int]] = None):
         H, W = self.input_image_size
         coords = (points + 0.5) / jnp.asarray([W, H], jnp.float32)
         pe = random_position_embedding(self.gaussian, coords)  # (B, N, C)
@@ -86,7 +95,7 @@ class PromptEncoder(nn.Module):
         emb = emb + jnp.where(labels == 3, self.point_embeddings[3], 0.0)
         sparse = emb
 
-        h, w = self.image_embedding_size
+        h, w = embed_hw or self.image_embedding_size
         if masks is not None:
             m = self.mask_conv1(masks)
             m = self.mask_ln1(m)

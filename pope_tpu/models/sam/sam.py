@@ -32,6 +32,15 @@ def resize_longest_side(h: int, w: int, long_side: int) -> Tuple[int, int]:
     return int(h * scale + 0.5), int(w * scale + 0.5)
 
 
+def rect_frame(input_hw: Tuple[int, int], patch_size: int = 16) -> Tuple[int, int]:
+    """Smallest patch-aligned frame containing the resized content — the
+    rect-encode eval mode's frame (vs the reference's square pad): a 640x480
+    image resized to 1024x768 gets a (768, 1024) frame / 48x64 token grid."""
+    h, w = input_hw
+    up = lambda v: -(-v // patch_size) * patch_size
+    return up(h), up(w)
+
+
 def apply_coords(coords, orig_hw: Tuple[int, int], long_side: int = 1024):
     """Rescale (..., 2) xy pixel coords from the original frame to the
     resized-longest-side frame (transforms.py:38-49)."""
@@ -64,16 +73,22 @@ class Sam(nn.Module):
             name="mask_decoder",
         )
 
-    def preprocess(self, image_resized, input_hw: Tuple[int, int]):
+    def preprocess(self, image_resized, input_hw: Tuple[int, int], frame_hw: Optional[Tuple[int, int]] = None):
         """(H', W', 3) RGB [0,255] already longest-side-resized ->
-        (1, 1024, 1024, 3) normalized + zero-padded (sam.py:164-174)."""
+        (1, fh, fw, 3) normalized + zero-padded (sam.py:164-174).
+
+        frame_hw defaults to the reference's square (img_size, img_size)
+        frame; the rect-encode eval mode passes the content extent rounded up
+        to patch multiples instead (rect_frame), skipping pure-padding
+        encoder tokens."""
         cfg = self.config
         mean = jnp.asarray(cfg.pixel_mean)
         std = jnp.asarray(cfg.pixel_std)
         x = (jnp.asarray(image_resized, jnp.float32) - mean) / std
         S = cfg.encoder.img_size
+        fh, fw = (S, S) if frame_hw is None else frame_hw
         h, w = input_hw
-        x = jnp.pad(x, ((0, S - h), (0, S - w), (0, 0)))
+        x = jnp.pad(x, ((0, fh - h), (0, fw - w), (0, 0)))
         return x[None]
 
     def encode_image(self, preprocessed):
@@ -94,11 +109,18 @@ class Sam(nn.Module):
         """points: (B, N, 2) coords in the 1024-frame; labels: (B, N).
         Returns (low_res_masks (B, K, 256, 256), iou_pred (B, K)).
         subsample=4: exact stride-4-subsampled logits (B, K, 64, 64) at 1/16
-        the upscale cost (decoder.UpConvT)."""
-        sparse, dense = self.prompt_encoder(points, labels, masks_input)
+        the upscale cost (decoder.UpConvT).
+
+        RECT embeddings (B, gh, gw, C) are handled transparently: dense PE
+        and the no-mask embedding follow the embedding grid (masks then come
+        back at (B, K, 4*gh, 4*gw) covering the rect frame)."""
+        embed_hw = tuple(image_embeddings.shape[1:3])
+        sparse, dense = self.prompt_encoder(
+            points, labels, masks_input, embed_hw=embed_hw
+        )
         masks, iou = self.mask_decoder(
             image_embeddings,
-            self.prompt_encoder.get_dense_pe(),
+            self.prompt_encoder.get_dense_pe(embed_hw),
             sparse,
             dense,
             multimask_output=multimask_output,
@@ -112,13 +134,24 @@ class Sam(nn.Module):
         return self.decode(emb, points, labels, multimask_output=multimask_output)
 
 
-def postprocess_masks(low_res_masks, input_hw, original_hw, img_size: int = 1024):
+def postprocess_masks(low_res_masks, input_hw, original_hw, img_size: int = 1024,
+                      frame_hw: Optional[Tuple[int, int]] = None):
     """(B, K, 256, 256) logits -> (B, K, H0, W0) at the original image size
     (sam.py:133-162: upsample to 1024, strip padding, upsample to original).
+
+    frame_hw: pixel extent the low-res masks cover. Default: 4x the mask
+    grid, which is exact for every full-res decode output (patch 16 halves
+    twice in UpConvT: a 64x64 token grid -> 256 mask cells -> 1024-px square
+    frame; a rect-encode 48x64 grid -> (192, 256) cells -> (768, 1024)
+    frame). Pass explicitly only for subsampled eval masks (which nothing
+    upsamples today).
     """
     B, K = low_res_masks.shape[:2]
+    if frame_hw is None:
+        frame_hw = (4 * low_res_masks.shape[-2], 4 * low_res_masks.shape[-1])
+    fh, fw = frame_hw
     m = low_res_masks.reshape(B * K, *low_res_masks.shape[2:])[..., None]
-    m = resize_bilinear_torch(m, (img_size, img_size), align_corners=False)
+    m = resize_bilinear_torch(m, (fh, fw), align_corners=False)
     m = m[:, : input_hw[0], : input_hw[1]]
     m = resize_bilinear_torch(m, tuple(original_hw), align_corners=False)
     return m[..., 0].reshape(B, K, *original_hw)
