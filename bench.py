@@ -52,15 +52,30 @@ def _vit_flops(n_tokens, depth, embed, mlp_ratio=4.0, window=0, grid=0, n_global
 def flop_budget(models, n_candidates=None, crop_size=256):
     """Per-pair model-FLOP budget of the shipped pipeline stages, from the
     actual model configs (verdict round 2: publish the budget so the
-    throughput claim is falsifiable; MFU = flops/s / bf16 peak)."""
+    throughput claim is falsifiable; MFU = flops/s / bf16 peak).
+
+    Counts what actually runs at the bench's 640x480 frames: with
+    AMGConfig.rect_encode the encoder processes the patch-aligned rect grid
+    (48x64 = 3072 tokens), not the padded square's 64x64."""
     cfg = models.config
     enc = cfg.sam.encoder
     grid = enc.img_size // enc.patch_size
-    n_tok = grid * grid
-    sam_encode = _vit_flops(
-        n_tok, enc.depth, enc.embed_dim, enc.mlp_ratio,
-        window=enc.window_size, grid=grid,
-        n_global=len(enc.global_attn_indexes),
+    if cfg.amg.rect_encode:
+        from pope_tpu.models.sam.sam import rect_frame, resize_longest_side
+
+        fh, fw = rect_frame(resize_longest_side(H, W, enc.img_size), enc.patch_size)
+        gh, gw = fh // enc.patch_size, fw // enc.patch_size
+    else:
+        gh = gw = grid
+    n_tok = gh * gw
+    ws = enc.window_size
+    n_windows = (-(-gh // ws)) * (-(-gw // ws))
+    n_global = len(enc.global_attn_indexes)
+    C = enc.embed_dim
+    sam_encode = (
+        enc.depth * 2 * n_tok * C * C * (3 + 1 + 2 * enc.mlp_ratio)
+        + (enc.depth - n_global) * 4 * n_windows * (ws * ws) ** 2 * C
+        + n_global * 4 * n_tok * n_tok * C
     )
     # AMG decode: per candidate, the TwoWay transformer runs on ~5 tokens x
     # 4096 image tokens cross-attention + upscaling convs + hypernet; the
