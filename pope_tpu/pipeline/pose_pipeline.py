@@ -233,14 +233,17 @@ class PairResult(NamedTuple):
     n_dropped_matches: jnp.ndarray = None  # ()
 
 
-def _dino_preprocess_crop(crop_rgb01):
-    """(S, S, 3) float [0,1] -> (196, 196, 3) normalized: the center_crop=True
-    path of dinov2_utils.set_torch_image (resize 256 -> CenterCrop 196)."""
-    img = jax.image.resize(crop_rgb01, (256, 256, 3), method="bilinear", antialias=True)
-    img = img[30:226, 30:226]
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
-    return (img - mean) / std
+def _dino_box_window(box_xyxy):
+    """The sub-box of `box` whose direct affine warp to 196x196 equals
+    crop(box -> 256) -> CenterCrop(196) (the dinov2_utils.set_torch_image
+    center_crop path): rows/cols 30..225 of the 256-crop are the affine
+    samples of the box shrunk to its [30/256, 226/256] span. Exact — both
+    are the same linear map of the source image, so the per-pixel sample
+    positions coincide for any resampling convention."""
+    x0, y0, x1, y1 = box_xyxy[0], box_xyxy[1], box_xyxy[2], box_xyxy[3]
+    w, h = x1 - x0, y1 - y0
+    lo, hi = 30.0 / 256.0, 226.0 / 256.0
+    return jnp.stack([x0 + lo * w, y0 + lo * h, x0 + hi * w, y0 + hi * h])
 
 
 def retrieve_top_k(models, image1_rgb01, boxes_xywh, valid, K1, ref_cls, top_k=3, crop_size=256, dinov2_variables=None):
@@ -266,21 +269,33 @@ def retrieve_top_k(models, image1_rgb01, boxes_xywh, valid, K1, ref_cls, top_k=3
 
     boxes = jax.vmap(expand)(boxes_xywh)  # (C, 4) xyxy
 
-    def crop_one(box):
-        crop, _ = get_image_crop_resize(image1_rgb01, box, (crop_size, crop_size))
-        K_crop, _ = get_K_crop_resize(box, K1, (crop_size, crop_size))
-        return crop, K_crop
+    # score ALL candidates at the DINOv2 input resolution directly: one
+    # 196x196 warp per box replaces crop(256) -> resize -> CenterCrop(196)
+    # exactly (_dino_box_window) — 41% fewer resampled pixels per candidate
+    # and no full-capacity (C, S, S, 3) crop tensor; the matcher-resolution
+    # crops are produced only for the k winners below
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
 
-    crops, crop_Ks = jax.vmap(crop_one)(boxes)  # (C, S, S, 3), (C, 3, 3)
+    def dino_crop(box):
+        crop, _ = get_image_crop_resize(image1_rgb01, _dino_box_window(box), (196, 196))
+        return (crop - mean) / std
 
-    dino_in = jax.vmap(_dino_preprocess_crop)(crops)
+    dino_in = jax.vmap(dino_crop)(boxes)  # (C, 196, 196, 3)
     dv = models.dinov2_variables if dinov2_variables is None else dinov2_variables
     out = models.dinov2.apply(dv, dino_in)
     cls = out["x_norm_clstoken"]  # (C, D)
     scores = cls_token_cosine(ref_cls[None], cls)  # (C,)
     scores = jnp.where(valid, scores, -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(scores, top_k)
-    return top_idx, top_scores, crops[top_idx], crop_Ks[top_idx], boxes
+
+    def crop_one(box):
+        crop, _ = get_image_crop_resize(image1_rgb01, box, (crop_size, crop_size))
+        K_crop, _ = get_K_crop_resize(box, K1, (crop_size, crop_size))
+        return crop, K_crop
+
+    crops, crop_Ks = jax.vmap(crop_one)(boxes[top_idx])  # (k, S, S, 3), (k, 3, 3)
+    return top_idx, top_scores, crops, crop_Ks, boxes
 
 
 def match_and_score(models, ref_gray, crop_grays, strong_thr=0.9, matcher_variables=None):

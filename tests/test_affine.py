@@ -140,3 +140,21 @@ def test_clamped_scale_box_matches_reference():
         ours = np.asarray(clamped_scale_box(jnp.asarray(bbox, jnp.float32), w, h, s))
         ref = ref_box(w, h, bbox, s)
         np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_dino_box_window_equals_crop_then_center_crop():
+    """pose_pipeline._dino_box_window: a DIRECT 196x196 warp of the shrunk
+    box must equal crop(box -> 256) -> CenterCrop(196) (the retrieval
+    stage's fused scoring path)."""
+    from pope_tpu.geometry.affine import get_image_crop_resize
+    from pope_tpu.pipeline.pose_pipeline import _dino_box_window
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 1, (480, 640, 3)), jnp.float32)
+    for box in ([100.0, 50.0, 420.0, 300.0], [-20.0, 10.0, 200.0, 460.0],
+                [300.0, 200.0, 330.0, 260.0]):
+        box = jnp.asarray(box, jnp.float32)
+        two_step, _ = get_image_crop_resize(img, box, (256, 256))
+        two_step = two_step[30:226, 30:226]
+        direct, _ = get_image_crop_resize(img, _dino_box_window(box), (196, 196))
+        np.testing.assert_allclose(np.asarray(direct), np.asarray(two_step), atol=2e-5)
