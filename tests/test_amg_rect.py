@@ -113,3 +113,18 @@ def test_rect_matches_square_mode(oracle_pair, rect_scene):  # noqa: F811
     iou_m = _mask_iou_matrix(rect_masks, sq_masks)
     assert (iou_m.max(1) >= 0.95).all(), np.sort(iou_m.max(1))[:10]
     assert (iou_m.max(0) >= 0.95).all(), np.sort(iou_m.max(0))[:10]
+
+
+def test_rel_pos_subgrid_slices_square_table():
+    """The rect-encode exactness claim at the parameter level: for q==k the
+    sub-grid rel-pos lookup returns exactly the central entries the square
+    grid's lookup uses for those token pairs (encoder._rel_pos_table)."""
+    import jax
+    from pope_tpu.models.sam.encoder import _rel_pos_table
+
+    grid = 64
+    table = jax.random.normal(jax.random.PRNGKey(0), (2 * grid - 1, 8))
+    full = _rel_pos_table(table, grid, grid)        # (64, 64, d)
+    for sub in (48, 64, 13):
+        rect = _rel_pos_table(table, sub, sub)      # (sub, sub, d)
+        np.testing.assert_array_equal(np.asarray(rect), np.asarray(full[:sub, :sub]))
