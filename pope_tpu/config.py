@@ -194,6 +194,10 @@ class AMGConfig:
     # neck convs — which the reference itself discards downstream. Square
     # images are unaffected (frame == square), so oracle parity holds there;
     # set False for square-frame-exact compute on non-square images too.
+    # NOTE: the encoder program specializes per rect frame, so a dataset
+    # with many distinct aspect ratios compiles one encoder per
+    # patch-quantized shape (square mode always compiles exactly one);
+    # uniform-size eval sets (LINEMOD/YCBV 640x480) see a single compile.
     rect_encode: bool = True
 
 

@@ -21,14 +21,19 @@ from pope_tpu.models.sam.sam import Sam, apply_coords, postprocess_masks, resize
 
 
 class SamPredictor:
-    def __init__(self, sam: Sam, variables):
+    def __init__(self, sam: Sam, variables, rect_encode: bool = False):
+        """rect_encode: pad non-square images only to patch multiples (25%
+        fewer encoder tokens at VGA; see AMGConfig.rect_encode — default off
+        here to keep the interactive surface reference-exact)."""
         self.sam = sam
         self.variables = variables
+        self.rect_encode = rect_encode
         self._encode = jax.jit(
-            lambda v, img, hw: sam.apply(
-                v, sam.apply(v, img, hw, method=sam.preprocess), method=sam.encode_image
+            lambda v, img, hw, frame: sam.apply(
+                v, sam.apply(v, img, hw, frame, method=sam.preprocess),
+                method=sam.encode_image,
             ),
-            static_argnames=("hw",),
+            static_argnames=("hw", "frame"),
         )
         self._decode = jax.jit(
             lambda v, emb, pts, lbl, multi: sam.apply(
@@ -57,7 +62,15 @@ class SamPredictor:
         resized = cv2.resize(
             image_rgb, (self.input_hw[1], self.input_hw[0]), interpolation=cv2.INTER_LINEAR
         )
-        self.features = self._encode(self.variables, jnp.asarray(resized), self.input_hw)
+        if self.rect_encode:
+            from pope_tpu.models.sam.sam import rect_frame
+
+            frame = rect_frame(self.input_hw, self.sam.config.encoder.patch_size)
+        else:
+            frame = (S, S)
+        self.features = self._encode(
+            self.variables, jnp.asarray(resized), self.input_hw, frame
+        )
         return self.features
 
     def predict(

@@ -128,3 +128,32 @@ def test_rel_pos_subgrid_slices_square_table():
     for sub in (48, 64, 13):
         rect = _rel_pos_table(table, sub, sub)      # (sub, sub, d)
         np.testing.assert_array_equal(np.asarray(rect), np.asarray(full[:sub, :sub]))
+
+
+def test_predictor_rect_encode_matches_square(oracle_pair, rect_scene):  # noqa: F811
+    """SamPredictor(rect_encode=True) on a non-square image: cached rect
+    embedding + point/box prompts reproduce the square-frame predictor's
+    masks at original resolution."""
+    from pope_tpu.models.sam.predictor import SamPredictor
+
+    _, variables, sam = oracle_pair
+    preds = {}
+    for rect in (False, True):
+        p = SamPredictor(sam, variables, rect_encode=rect)
+        p.set_image(rect_scene)
+        assert p.features.shape[1:3] == ((12, 16) if rect else (16, 16))
+        masks, iou, low = p.predict(
+            point_coords=np.array([[90.0, 55.0]]), point_labels=np.array([1]),
+            box=np.array([50.0, 30.0, 120.0, 80.0]),
+        )
+        assert masks.shape[1:] == rect_scene.shape[:2]
+        preds[rect] = (masks, iou)
+    # each rect mask reproduces its square counterpart (same slot order);
+    # slots empty on BOTH sides (surgical-weight multimask slots can be) match
+    # trivially, but a slot empty on only one side must fail
+    r_m, s_m = preds[True][0], preds[False][0]
+    nonempty = r_m.any((-2, -1)) | s_m.any((-2, -1))
+    assert nonempty.any()
+    diag = np.diag(_mask_iou_matrix(r_m, s_m))
+    assert (diag[nonempty] >= 0.95).all(), diag
+    np.testing.assert_allclose(preds[True][1], preds[False][1], atol=5e-3)
