@@ -157,3 +157,25 @@ def test_predictor_rect_encode_matches_square(oracle_pair, rect_scene):  # noqa:
     diag = np.diag(_mask_iou_matrix(r_m, s_m))
     assert (diag[nonempty] >= 0.95).all(), diag
     np.testing.assert_allclose(preds[True][1], preds[False][1], atol=5e-3)
+
+
+def test_rect_portrait_orientation(oracle_pair):  # noqa: F811
+    """Portrait frames (h > w) produce the transposed rect grid and in-bounds
+    boxes — the 48x64-vs-64x48 orientation is easy to get backwards."""
+    _, variables, sam = oracle_pair
+    img = np.zeros((256, 192, 3), np.uint8)
+    img[:, :, 0] = np.linspace(40, 200, 192)[None, :].astype(np.uint8)
+    img[60:140, 40:120] = (250, 30, 30)
+    cfg = AMGConfig(
+        points_per_side=8, pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+        box_nms_thresh=1.5, min_mask_region_area=0, mask_capacity=64,
+        rect_encode=True,
+    )
+    ours = AutomaticMaskGenerator(sam, variables, cfg, TEST_CFG)
+    res = ours.generate(img)
+    assert res.masks_low_res.shape[-2:] == (64, 48)
+    keep = np.asarray(res.valid)
+    assert keep.any()
+    b = np.asarray(res.boxes)[keep]
+    assert (b[:, [0, 2]] <= 192.0).all() and (b[:, [1, 3]] <= 256.0).all()
+    assert (b >= 0).all()
