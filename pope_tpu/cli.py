@@ -125,6 +125,21 @@ def cmd_demo_3dbbox(args):
     print(f"wrote {args.out_query} and {args.out_bbox}")
 
 
+def cmd_demo_web(args):
+    """segment_anything/demo/: interactive click->mask segmentation. The
+    encoder runs once at startup; every click is served by the exported
+    StableHLO decode head (the reference's in-browser ONNX head)."""
+    import cv2
+
+    from pope_tpu.pipeline import load_models
+    from pope_tpu.serve import WebDemo, run_demo_server
+
+    models = load_models(sam_checkpoint=args.sam_checkpoint, sam_type=args.sam_type)
+    image = cv2.imread(args.image)[:, :, ::-1]
+    demo = WebDemo(models.sam, models.sam_variables, image, max_points=args.max_points)
+    run_demo_server(demo, host=args.host, port=args.port)
+
+
 def cmd_extract(args):
     from pope_tpu.eval.extract import extract_dataset
 
@@ -201,6 +216,14 @@ def main(argv=None):
     pb.add_argument("--out-bbox", default="3D_BBox.png")
     _add_model_args(pb)
     pb.set_defaults(fn=cmd_demo_3dbbox)
+
+    pw = sub.add_parser("demo-web", help="interactive segmentation web demo (browser)")
+    pw.add_argument("--image", required=True)
+    pw.add_argument("--host", default="127.0.0.1")
+    pw.add_argument("--port", type=int, default=8081)
+    pw.add_argument("--max-points", type=int, default=8)
+    _add_model_args(pw)
+    pw.set_defaults(fn=cmd_demo_web)
 
     px = sub.add_parser("extract", help="dump mkpts/crops for regressor training")
     px.add_argument("--dataset", required=True, choices=["linemod", "onepose", "onepose_plusplus", "ycbv"])

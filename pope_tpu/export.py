@@ -63,7 +63,7 @@ def export_sam_prompt_head(
 
       (image_embeddings (1, E, E, C), point_coords (1, P, 2) in the
        1024-frame, point_labels (1, P), mask_input (1, 4E, 4E, 1),
-       has_mask_input (1,))
+       has_mask_input (1,)[, click_count (1,) — single-mask variant only])
       -> (upscaled_masks (1, K, H0, W0) at `orig_hw`,
           scores (1, K), low_res_masks (1, K, 256, 256))
 
@@ -71,11 +71,14 @@ def export_sam_prompt_head(
     - `orig_im_size` is a static export argument rather than a runtime
       tensor (XLA compiles static shapes; export one artifact per serving
       resolution — the reference exports one ONNX per deployment anyway);
-    - `return_single_mask` resolves the reference's (num_points - 2.5)
-      score-reweight trick (onnx.py:92-107) at trace time: with a static
-      prompt count the +-1000 reweight is exactly "multi-click prompts take
-      the single-mask token, single-click prompts take the best multimask
-      slot", so the branch is compiled rather than arithmetic-encoded.
+    - `return_single_mask=True` implements the reference's runtime
+      (num_points - 2.5) score-reweight over ALL FOUR mask tokens EXACTLY
+      (onnx.py:92-107; it is branch-free arithmetic, so it exports
+      unchanged) — but since the prompt axis here is a fixed capacity P
+      padded with label -1 no-op slots rather than a dynamic ONNX axis, the
+      TRUE point count (clicks + the one (0,0)/-1 pad point, as the browser
+      client counts it in onnxModelAPI.tsx) arrives as the runtime
+      `click_count` input instead of being read off the tensor shape.
     """
     from jax import export as jexport
 
@@ -87,10 +90,8 @@ def export_sam_prompt_head(
     low = 4 * emb_size
     input_hw = resize_longest_side(orig_hw[0], orig_hw[1], S)
 
-    # trace-time resolution of onnx.py:96-107 (see docstring)
-    want_single_token = return_single_mask and (num_points - 2.5) > 0
-
-    def run(embeddings, point_coords, point_labels, mask_input, has_mask_input):
+    def run(embeddings, point_coords, point_labels, mask_input, has_mask_input,
+            click_count=None):
         def heads(mdl):
             sparse, dense_m = mdl.prompt_encoder(point_coords, point_labels, mask_input)
             _, dense_nm = mdl.prompt_encoder(point_coords, point_labels, None)
@@ -100,7 +101,7 @@ def export_sam_prompt_head(
             dense = w * dense_m + (1.0 - w) * dense_nm
             return mdl.mask_decoder(
                 embeddings, mdl.prompt_encoder.get_dense_pe(), sparse, dense,
-                multimask_output=not want_single_token,
+                multimask_output=True, return_all_tokens=return_single_mask,
             )
 
         masks, scores = sam.apply(variables, method=heads)
@@ -108,8 +109,11 @@ def export_sam_prompt_head(
             from pope_tpu.ops.masks import calculate_stability_score
 
             scores = calculate_stability_score(masks, 0.0, 1.0)
-        if return_single_mask and not want_single_token:
-            best = jnp.argmax(scores, axis=1)
+        if return_single_mask:
+            # select_masks (onnx.py:92-107): token 0 gets +-1000·(n - 2.5)
+            reweight = jnp.array([[1000.0, 0.0, 0.0, 0.0]], scores.dtype)
+            score = scores + (click_count.reshape(-1, 1) - 2.5) * reweight
+            best = jnp.argmax(score, axis=1)
             masks = jnp.take_along_axis(masks, best[:, None, None, None], axis=1)
             scores = jnp.take_along_axis(scores, best[:, None], axis=1)
         upscaled = postprocess_masks(masks, input_hw, orig_hw, S)
@@ -122,6 +126,8 @@ def export_sam_prompt_head(
         jax.ShapeDtypeStruct((1, low, low, 1), jnp.float32),
         jax.ShapeDtypeStruct((1,), jnp.float32),
     )
+    if return_single_mask:
+        args = args + (jax.ShapeDtypeStruct((1,), jnp.float32),)
     exported = jexport.export(jax.jit(run))(*args)
     blob = exported.serialize()
     if path:

@@ -195,12 +195,15 @@ class MaskDecoder(nn.Module):
         dense_prompt,
         multimask_output: bool = True,
         subsample: int = 1,
+        return_all_tokens: bool = False,
     ):
         """
         image_embeddings: (1 or B, h, w, C); image_pe: (h, w, C);
         sparse_prompt: (B, N, C); dense_prompt: (B, h, w, C).
         Returns (masks (B, K, 4h, 4w), iou_pred (B, K)) with K = 3 when
-        multimask_output else 1.
+        multimask_output else 1; return_all_tokens=True returns all 4 mask
+        tokens unsliced (the SamOnnxModel surface, utils/onnx.py:123-131,
+        whose runtime select_masks needs token 0 AND the multimask slots).
 
         subsample=4 returns the EXACT stride-4 subsample of the full-res mask
         logits as (B, K, h, w), skipping 15/16 of the upscale compute (see
@@ -249,6 +252,8 @@ class MaskDecoder(nn.Module):
             dtype=self.dtype, name="iou_head",
         )(iou_out)
 
+        if return_all_tokens:
+            return masks, iou_pred
         if multimask_output:
             return masks[:, 1:], iou_pred[:, 1:]
         return masks[:, :1], iou_pred[:, :1]

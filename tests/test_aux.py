@@ -164,13 +164,23 @@ def test_export_sam_prompt_head_full_surface(rng):
     _, _, low_0 = fn.call(emb, pts, lbl, m, jnp.zeros((1,)))
     np.testing.assert_allclose(np.asarray(low_0), np.asarray(low), atol=1e-6)
 
-    # single-mask variant returns K=1
+    # single-mask variant returns K=1 and implements the runtime
+    # (click_count - 2.5) reweight of onnx.py:92-107: a 2-point prompt
+    # (1 click + pad) takes the best multimask slot, a 3-point prompt takes
+    # the single-mask token (token 0)
     blob1 = export_sam_prompt_head(sam, variables, orig_hw, num_points=2,
                                    return_single_mask=True)
-    up1, s1, low1 = load_exported(blob1).call(emb, pts, lbl, mask_in, jnp.zeros((1,)))
+    head1 = load_exported(blob1).call
+    up1, s1, low1 = head1(emb, pts, lbl, mask_in, jnp.zeros((1,)), jnp.asarray([2.0]))
     assert up1.shape == (1, 1, 200, 256) and s1.shape == (1, 1)
     best = int(np.argmax(np.asarray(scores)[0]))
     np.testing.assert_allclose(np.asarray(low1)[0, 0], np.asarray(low)[0, best], atol=1e-5)
+    # click_count=3 -> token 0 (the reference's "multiclick mask")
+    ref_low0, _ = sam.apply(
+        variables, emb, pts, lbl, multimask_output=False, method=sam.decode
+    )
+    _, _, low3 = head1(emb, pts, lbl, mask_in, jnp.zeros((1,)), jnp.asarray([3.0]))
+    np.testing.assert_allclose(np.asarray(low3)[0, 0], np.asarray(ref_low0)[0, 0], atol=1e-5)
 
 
 def test_export_matcher_and_dinov2(rng):
