@@ -206,7 +206,12 @@ class PipelineConfig:
     """Composed POPE pipeline (eval_*_json.py driver constants)."""
 
     matcher: MatcherConfig = MatcherConfig()
-    dinov2: DinoV2Config = DinoV2Config()
+    # bf16 retrieval tower: 1.52x faster at the 260-crop retrieval shapes;
+    # cls per-element rel err ~1.4e-3 (p99 1e-2), orders below the cosine
+    # margins top-3 retrieval rides on. Oracle parity tests pin float32 via
+    # their own DinoV2Config. Set dtype="float32" here for bit-conservative
+    # scoring.
+    dinov2: DinoV2Config = DinoV2Config(dtype="bfloat16")
     sam: SamConfig = SamConfig()
     amg: AMGConfig = AMGConfig()
     top_k: int = 3  # retrieval candidates (eval_linemod_json.py:71)

@@ -51,6 +51,15 @@ class PipelineExecutor:
                 top_k=cfg.top_k, crop_size=crop_size, dinov2_variables=dinov2_vars,
             )
 
+        def retrieve_folded(dinov2_vars, image1, boxes_xywh, valid, K1, ref_img):
+            # prompt cls computed inside the candidate forward (ref_img is
+            # the preprocessed 196x196 prompt; see retrieve_top_k ref_img)
+            return retrieve_top_k(
+                models, _to_rgb01(image1), boxes_xywh, valid, K1, None,
+                top_k=cfg.top_k, crop_size=crop_size, dinov2_variables=dinov2_vars,
+                ref_img=ref_img,
+            )
+
         def match(matcher_vars, image0_rgb01, crops):
             ref_gray = _rgb01_to_gray(_to_rgb01(image0_rgb01))
             crop_grays = jax.vmap(_rgb01_to_gray)(crops)
@@ -90,6 +99,7 @@ class PipelineExecutor:
             return models.dinov2.apply(dinov2_vars, ref_in)["x_norm_clstoken"]
 
         self._retrieve_fn = retrieve
+        self._retrieve_folded_fn = retrieve_folded
         self._match_fn = match
         self._solve_fn = solve
         self._select_fn = select_best
@@ -116,12 +126,13 @@ class PipelineExecutor:
 
     def batched(self):
         """The vmapped multi-pair runner (built once; jit re-specializes per
-        batch shape)."""
+        batch shape). Production shape: prompt forward folded into the
+        retrieval batch (pass ref_cls_b=None)."""
         if self._batched_run is None:
-            self._batched_run = self.build_batched(0)
+            self._batched_run = self.build_batched(0, fold_prompt=True)
         return self._batched_run
 
-    def build_batched(self, n_pairs: int = 0, mesh=None):
+    def build_batched(self, n_pairs: int = 0, mesh=None, fold_prompt: bool = False):
         """The multi-pair retrieve->match->select->solve as ONE fused jitted
         program. Batching the pair axis amortizes the per-dispatch overhead
         and the small-matrix linalg that dominates single-pair latency; the
@@ -134,13 +145,29 @@ class PipelineExecutor:
         sharded over dp (the reference's only scalable axis is this pair
         loop, SURVEY §2.5 / BASELINE.json config #5); the SPMD partitioner
         replicates weights and splits every stage across chips. B must be
-        divisible by mesh.shape['dp']."""
+        divisible by mesh.shape['dp'].
+
+        fold_prompt: compute the prompt cls INSIDE this program (preprocess
+        fused, prompt appended to the retrieval crop batch) — callers pass
+        ref_cls_b=None. Saves the standalone B-image prompt dispatch; the
+        production runner uses this shape."""
         models = self.models
 
         def run_fused(dv, mv, image0_b, image1_b, K0_b, K1_b, amg_boxes_b, amg_valid_b, ref_cls_b, keys, amg_dropped_b=None):
-            top_idx, sim, crops, crop_Ks, boxes = jax.vmap(
-                self._retrieve_fn, in_axes=(None, 0, 0, 0, 0, 0)
-            )(dv, image1_b, amg_boxes_b, amg_valid_b, K1_b, ref_cls_b)
+            if fold_prompt:
+                from pope_tpu.models.dinov2.preprocess import preprocess_image
+
+                imgs = _to_rgb01(image0_b) * 255.0
+                ref_in = jax.vmap(
+                    lambda im: preprocess_image(im, center_crop=True)[0]
+                )(imgs)  # (B, 196, 196, 3)
+                top_idx, sim, crops, crop_Ks, boxes = jax.vmap(
+                    self._retrieve_folded_fn, in_axes=(None, 0, 0, 0, 0, 0)
+                )(dv, image1_b, amg_boxes_b, amg_valid_b, K1_b, ref_in)
+            else:
+                top_idx, sim, crops, crop_Ks, boxes = jax.vmap(
+                    self._retrieve_fn, in_axes=(None, 0, 0, 0, 0, 0)
+                )(dv, image1_b, amg_boxes_b, amg_valid_b, K1_b, ref_cls_b)
             mkpts0, mkpts1, mconf, mvalid, n_strong, best, match_dropped = jax.vmap(
                 self._match_fn, in_axes=(None, 0, 0)
             )(mv, image0_b, crops)
@@ -188,6 +215,8 @@ class PipelineExecutor:
 
         def run_dp(*args, packed: bool = False):
             def put(x):
+                if x is None:  # fold_prompt passes ref_cls_b=None
+                    return None
                 x = jnp.asarray(x)
                 spec = P(*(["dp"] + [None] * (x.ndim - 1)))
                 return jax.device_put(x, NamedSharding(mesh, spec))
@@ -246,14 +275,18 @@ def _dino_box_window(box_xyxy):
     return jnp.stack([x0 + lo * w, y0 + lo * h, x0 + hi * w, y0 + hi * h])
 
 
-def retrieve_top_k(models, image1_rgb01, boxes_xywh, valid, K1, ref_cls, top_k=3, crop_size=256, dinov2_variables=None):
+def retrieve_top_k(models, image1_rgb01, boxes_xywh, valid, K1, ref_cls, top_k=3, crop_size=256, dinov2_variables=None, ref_img=None):
     """Crop every AMG candidate, score against the prompt cls token, return
     the top-k candidates. All candidates run as ONE batched DINOv2 forward.
 
     Args:
       image1_rgb01: (H, W, 3) float target image in [0, 1].
       boxes_xywh: (C, 4) candidate boxes; valid: (C,) bool.
-      K1: (3, 3); ref_cls: (D,) prompt cls token.
+      K1: (3, 3); ref_cls: (D,) prompt cls token, or None when ref_img given.
+      ref_img: optional (196, 196, 3) preprocessed prompt image — appended
+        as a C+1'th row of the candidate forward so the prompt cls computes
+        inside the SAME DINOv2 dispatch (folds away the standalone B-image
+        prompt program of the unfolded path; same math, one batch).
     Returns:
       (top_idx (k,), scores (k,), crops (k, S, S, 3), crop_Ks (k, 3, 3),
        boxes_xyxy (C, 4) the compact-expanded boxes)
@@ -282,9 +315,13 @@ def retrieve_top_k(models, image1_rgb01, boxes_xywh, valid, K1, ref_cls, top_k=3
         return (crop - mean) / std
 
     dino_in = jax.vmap(dino_crop)(boxes)  # (C, 196, 196, 3)
+    if ref_img is not None:
+        dino_in = jnp.concatenate([dino_in, ref_img[None]], axis=0)  # (C+1, ...)
     dv = models.dinov2_variables if dinov2_variables is None else dinov2_variables
     out = models.dinov2.apply(dv, dino_in)
-    cls = out["x_norm_clstoken"]  # (C, D)
+    cls = out["x_norm_clstoken"]  # (C[+1], D)
+    if ref_img is not None:
+        ref_cls, cls = cls[-1], cls[:-1]
     scores = cls_token_cosine(ref_cls[None], cls)  # (C,)
     scores = jnp.where(valid, scores, -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(scores, top_k)

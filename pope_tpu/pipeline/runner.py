@@ -200,7 +200,7 @@ def prepare_batch(paths_list):
 
 def dispatch_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None):
     """Queue the whole device side of one batch WITHOUT syncing: returns a
-    pending handle for finish_pairs. All three stage dispatches are async,
+    pending handle for finish_pairs. Both stage dispatches are async,
     so a caller can keep batch N+1's programs in the device queue while it
     builds batch N's records (software pipelining across batches — the
     device never idles on host record-building)."""
@@ -214,12 +214,15 @@ def dispatch_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None):
     # device program whose outputs stay on device: no mask d2h, no host
     # postprocess, no box re-upload.
     boxes_b, valid_b, dropped_b = models.amg.generate_boxes_batch(dev["img1_u8"])
-    ref_cls = executor.prompt_cls_raw(dev["img0_u8"])  # (B, D)
 
+    # prompt cls computes INSIDE the fused program (fold_prompt): the
+    # preprocessed prompt rides the retrieval crop batch, so the whole
+    # retrieve+match+solve side stays one dispatch with no standalone
+    # B-image DINOv2 program
     run = executor.batched()
     small, matches = run(
         dev["img0_u8"], dev["img1_u8"], dev["K0"], dev["K1"],
-        boxes_b, valid_b, ref_cls, keys, dropped_b, packed=True,
+        boxes_b, valid_b, None, keys, dropped_b, packed=True,
     )
     return (paths_list, hosts, small, matches)
 
@@ -239,8 +242,8 @@ def run_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None) -> List
     """Batched production path over B manifest pairs (same image shapes):
 
       1 x batched SAM encode (resize fused) -> 1 x batched AMG decode
-      -> 1 x batched prompt cls forward (preprocess fused)
-      -> 1 x fused retrieve/match/solve.
+      -> 1 x fused retrieve/match/solve (prompt cls folded into the
+        retrieval crop batch).
 
     Each frame uploads exactly once as uint8; all derived tensors (SAM
     resize, DINOv2 prompt crop, grayscale) are computed on device. Results

@@ -283,12 +283,12 @@ def _make_candidate_runner(points):
         K0_b = jnp.asarray(np.stack([h[2] for h in hosts]))
         K1_b = jnp.asarray(np.stack([h[3] for h in hosts]))
         keys = jnp.asarray(pair_keys_np(paths_list))
-        ref_cls = executor.prompt_cls_raw(img0)
+        # the shipped runner's shape: prompt cls folds into the fused program
         run = executor.batched()
         small, matches = run(
             img0, img1, K0_b, K1_b,
             jnp.asarray(np.asarray(cand, np.float32)),
-            jnp.asarray(np.asarray(valid)), ref_cls, keys, packed=True,
+            jnp.asarray(np.asarray(valid)), None, keys, packed=True,
         )
         small_b, matches_b = jax.device_get((small, matches))
         return [

@@ -182,6 +182,37 @@ def test_batched_pairs(tiny_models, rng):
     )
 
 
+def test_batched_pairs_fold_prompt(tiny_models, rng):
+    """fold_prompt=True (the shipped runner: prompt cls computed inside the
+    fused program as a C+1'th retrieval crop) must reproduce the unfolded
+    path fed the separately-computed prompt_cls_raw tokens."""
+    import jax
+    import jax.numpy as jnp
+
+    from pope_tpu.pipeline.pose_pipeline import PipelineExecutor
+
+    ex = PipelineExecutor(tiny_models, crop_size=64)
+    B, C = 2, tiny_models.config.amg.mask_capacity
+    img0 = jnp.asarray(rng.uniform(0, 255, (B, 96, 96, 3)), jnp.uint8)
+    img1 = jnp.asarray(rng.uniform(0, 255, (B, 96, 96, 3)), jnp.uint8)
+    K = jnp.broadcast_to(jnp.asarray([[100.0, 0, 48], [0, 100, 48], [0, 0, 1]]), (B, 3, 3))
+    boxes = jnp.asarray(rng.uniform(5, 40, (B, C, 4)), jnp.float32)
+    valid = jnp.ones((B, C), bool)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    ref_cls = ex.prompt_cls_raw(img0)
+    base = ex.build_batched(B)(img0, img1, K, K, boxes, valid, ref_cls, keys)
+    res = ex.build_batched(B, fold_prompt=True)(
+        img0, img1, K, K, boxes, valid, None, keys
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(res.sim_scores), np.asarray(base.sim_scores), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(res.R), np.asarray(base.R), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.mkpts1), np.asarray(base.mkpts1), atol=1e-3)
+
+
 def test_batched_pairs_dp_sharded(tiny_models, rng):
     """The dp-mesh-sharded batched runner must reproduce the unsharded
     results exactly (BASELINE.json config #5: scale the pair loop over
