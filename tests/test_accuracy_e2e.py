@@ -343,3 +343,30 @@ def test_trained_pipeline_accuracy(tmp_path):
     assert agg["R:medianErr"] < 10.0, agg
     assert agg["AP50"] > 0.8, agg
     assert agg["R:ACC15"] > 0.5, agg
+
+    # bf16-matcher gate: bench.py ships the matcher in bf16 compute; its
+    # pose accuracy on the SAME trained weights must hold up (the bf16
+    # softmax/expectation noise stays well under the ~1px match noise this
+    # harness budgets). Keeps the published throughput claim honest: the
+    # speed measured with a bf16 matcher corresponds to an accuracy this
+    # gate enforces.
+    from pope_tpu.models.matcher import Matcher
+
+    mcfg16 = dataclasses.replace(mcfg, dtype="bfloat16")
+    models16 = PopeModels(
+        sam=None, sam_variables=None, dinov2=dinov2, dinov2_variables=d_vars,
+        matcher=Matcher(mcfg16), matcher_variables=m_vars, amg=None,
+        config=dataclasses.replace(cfg, matcher=mcfg16),
+    )
+    mf.DATASETS["linemod"] = spec
+    try:
+        per_obj16 = evaluate_dataset(
+            models16, "linemod", data_root, pairs_dir, progress=False,
+            batch_size=2, run_pairs=_make_candidate_runner(points),
+        )
+    finally:
+        mf.DATASETS["linemod"] = orig
+    agg16 = per_obj16[list(per_obj16)[0]]
+    assert agg16["R:medianErr"] < 10.0, agg16
+    assert agg16["AP50"] > 0.8, agg16
+    assert agg16["R:medianErr"] < agg["R:medianErr"] + 2.0, (agg, agg16)
