@@ -114,6 +114,13 @@ class SamEncoderConfig:
     # (tests/test_flash_attention.py + on-chip parity).
     use_flash_attention: bool = True
     dtype: str = "bfloat16"
+    # 'int8' routes every block's qkv/proj/mlp Dense through the w8a8 MXU
+    # path (ops/quant.py): ~2x the bf16 matmul rate on a v5e, with per-token
+    # activation + per-channel weight symmetric quantization. Opt-in: the
+    # oracle-parity tests and the shipped default stay bf16 (no released
+    # checkpoints exist in this container to validate int8 end-task
+    # accuracy against); error bounds are pinned in test_quant.py.
+    quantize: str = "none"
 
     @classmethod
     def vit_b(cls):

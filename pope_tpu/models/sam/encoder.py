@@ -118,9 +118,13 @@ class EncoderBlock(nn.Module):
     grid: int  # full feature grid side (img/patch)
     dtype: jnp.dtype = jnp.bfloat16
     use_flash: bool = False
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        from pope_tpu.ops.quant import make_dense
+
+        Dense = make_dense(self.quantize)
         B, H, W, C = x.shape
         nh = self.num_heads
         d = C // nh
@@ -145,7 +149,7 @@ class EncoderBlock(nn.Module):
             q_hw = (H, W)
             tokens = h.reshape(B, H * W, C)
 
-        qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype, name="qkv")(tokens)
+        qkv = Dense(3 * C, use_bias=True, dtype=self.dtype, name="qkv")(tokens)
         qkv = qkv.reshape(tokens.shape[0], tokens.shape[1], 3, nh, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -161,7 +165,7 @@ class EncoderBlock(nn.Module):
             attn_out = jax.nn.dot_product_attention(q, k, v).reshape(
                 tokens.shape[0], tokens.shape[1], C
             )
-        attn_out = nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(attn_out)
+        attn_out = Dense(C, use_bias=True, dtype=self.dtype, name="proj")(attn_out)
 
         if ws > 0:
             wn = attn_out.reshape(-1, ws, ws, C)
@@ -174,9 +178,9 @@ class EncoderBlock(nn.Module):
 
         x = shortcut + attn_sp
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_lin1")(h)
+        h = Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_lin1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(C, dtype=self.dtype, name="mlp_lin2")(h)
+        h = Dense(C, dtype=self.dtype, name="mlp_lin2")(h)
         return x + h
 
 
@@ -218,6 +222,7 @@ class ImageEncoderViT(nn.Module):
                 grid=grid,
                 dtype=dtype,
                 use_flash=cfg.use_flash_attention,
+                quantize=cfg.quantize,
                 name=f"block_{i}",
             )(x)
 
