@@ -30,19 +30,18 @@ V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 H, W = 480, 640  # LINEMOD frame
 
 
-def _vit_flops(n_tokens, depth, embed, mlp_ratio=4.0, window=0, grid=0, n_global=0):
+def _vit_flops(n_tokens, depth, embed, mlp_ratio=4.0, window=0, n_windows=0, n_global=0):
     """Model FLOPs (2*MACs) of a ViT forward: qkv/proj/mlp matmuls + attention
-    einsums. For windowed ViTDet layers the quadratic term uses the window
-    token count; `n_global` layers attend over the full grid."""
+    einsums. For windowed ViTDet layers (window>0) the quadratic term uses the
+    window token count over `n_windows` (possibly rect) windows; `n_global`
+    layers attend over the full grid. The ONE FLOP formula both the DINOv2
+    tower and the SAM encoder budgets use — keep them from diverging."""
     C = embed
     lin = 2 * n_tokens * C * C * (3 + 1 + 2 * mlp_ratio)  # qkv+proj+mlp per layer
     flops = float(depth) * lin
     # attention quadratic terms
     if window:
-        n_win_layers = depth - n_global
-        win_tokens = window * window
-        n_windows = -(-grid // window) ** 2
-        flops += n_win_layers * 4 * n_windows * win_tokens * win_tokens * C
+        flops += (depth - n_global) * 4 * n_windows * (window * window) ** 2 * C
         flops += n_global * 4 * n_tokens * n_tokens * C
     else:
         flops += depth * 4 * n_tokens * n_tokens * C
@@ -72,10 +71,9 @@ def flop_budget(models, n_candidates=None, crop_size=256):
     n_windows = (-(-gh // ws)) * (-(-gw // ws))
     n_global = len(enc.global_attn_indexes)
     C = enc.embed_dim
-    sam_encode = (
-        enc.depth * 2 * n_tok * C * C * (3 + 1 + 2 * enc.mlp_ratio)
-        + (enc.depth - n_global) * 4 * n_windows * (ws * ws) ** 2 * C
-        + n_global * 4 * n_tok * n_tok * C
+    sam_encode = _vit_flops(
+        n_tok, enc.depth, C, enc.mlp_ratio,
+        window=ws, n_windows=n_windows, n_global=n_global,
     )
     # AMG decode: per candidate, the TwoWay transformer runs on ~5 tokens x
     # 4096 image tokens cross-attention + upscaling convs + hypernet; the

@@ -99,9 +99,12 @@ def export_sam_prompt_head(
             # the downscaled mask embedding and the no-mask embedding
             w = has_mask_input.reshape(-1, 1, 1, 1)
             dense = w * dense_m + (1.0 - w) * dense_nm
+            # the reference head decodes ALL 4 tokens (onnx.py:120-125 calls
+            # predict_masks, never the multimask slice); return_single_mask
+            # then narrows via select_masks, else all 4 ship to the client
             return mdl.mask_decoder(
                 embeddings, mdl.prompt_encoder.get_dense_pe(), sparse, dense,
-                multimask_output=True, return_all_tokens=return_single_mask,
+                multimask_output=True, return_all_tokens=True,
             )
 
         masks, scores = sam.apply(variables, method=heads)
@@ -116,7 +119,7 @@ def export_sam_prompt_head(
             best = jnp.argmax(score, axis=1)
             masks = jnp.take_along_axis(masks, best[:, None, None, None], axis=1)
             scores = jnp.take_along_axis(scores, best[:, None], axis=1)
-        upscaled = postprocess_masks(masks, input_hw, orig_hw, S)
+        upscaled = postprocess_masks(masks, input_hw, orig_hw)
         return upscaled, scores, masks
 
     args = (

@@ -142,7 +142,13 @@ class AutomaticMaskGenerator:
             # little-endian layout on host), 8x less than uint8
             bits = (m > MASK_THRESHOLD).astype(jnp.uint8)
             s = bits.shape
-            bits = bits.reshape(s[:-1] + (s[-1] // 8, 8))
+            # rect-encode grids can have a low-res width that is not a byte
+            # multiple (e.g. gw=25 -> 100 px); pad, and the host slices the
+            # unpacked bits back to the true width
+            pad = (-s[-1]) % 8
+            if pad:
+                bits = jnp.pad(bits, [(0, 0)] * (len(s) - 1) + [(0, pad)])
+            bits = bits.reshape(s[:-1] + ((s[-1] + pad) // 8, 8))
             weights = (2 ** jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint8)
             return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32).astype(jnp.uint8)
 
@@ -158,9 +164,16 @@ class AutomaticMaskGenerator:
                     r.stability[..., None],
                     r.areas[..., None],
                     r.valid.astype(jnp.float32)[..., None],
+                    # per-image capacity-overflow count, broadcast over the
+                    # candidate axis so it rides the same leaf ("no silent
+                    # caps" telemetry for the records/serial path)
+                    jnp.broadcast_to(
+                        r.n_dropped.astype(jnp.float32)[..., None, None],
+                        r.iou_preds.shape + (1,),
+                    ),
                 ],
                 axis=-1,
-            )  # (B, C, 8)
+            )  # (B, C, 9)
 
         self._pack_small_jit = jax.jit(_pack_small)
 
@@ -393,7 +406,9 @@ class AutomaticMaskGenerator:
         stab_b = small_b[..., 5]
         areas_b = small_b[..., 6]
         valid_b = small_b[..., 7] > 0.5
-        binm_b = np.unpackbits(packed_b, axis=-1, bitorder="little")
+        binm_b = np.unpackbits(packed_b, axis=-1, bitorder="little")[
+            ..., : masks_dev.shape[-1]
+        ]
         def finish(i):
             logits_i = (
                 masks_host[i]
@@ -403,6 +418,7 @@ class AutomaticMaskGenerator:
             r = AMGResult(
                 masks_low_res=logits_i, boxes=boxes_b[i], iou_preds=iou_b[i],
                 stability=stab_b[i], areas=areas_b[i], valid=valid_b[i],
+                n_dropped=np.float32(small_b[i, 0, 8]),
             )
             if self.cfg.min_mask_region_area > 0:
                 r = postprocess_small_regions_host(
@@ -576,10 +592,11 @@ def postprocess_small_regions_host(
         stability=np.asarray(result.stability),
         areas=(out_masks.sum((-2, -1)) / scale).astype(np.float32),
         valid=keep & valid,
+        n_dropped=result.n_dropped,
     )
 
 
-def amg_records(result: AMGResult, orig_hw, input_hw, img_size: int = 1024):
+def amg_records(result: AMGResult, orig_hw, input_hw):
     """Convert an AMGResult to the reference's public record format
     (automatic_mask_generator.py:182-193): one dict per mask with
     'segmentation' (bool HxW at original size), 'area', 'bbox' (XYWH),
@@ -590,7 +607,7 @@ def amg_records(result: AMGResult, orig_hw, input_hw, img_size: int = 1024):
 
     ok = np.asarray(result.valid)
     masks_full = postprocess_masks(
-        jnp.asarray(result.masks_low_res)[None], input_hw, orig_hw, img_size
+        jnp.asarray(result.masks_low_res)[None], input_hw, orig_hw
     )[0]
     masks_full = np.asarray(masks_full > MASK_THRESHOLD)
     boxes = np.asarray(result.boxes)

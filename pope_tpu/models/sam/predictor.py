@@ -105,9 +105,7 @@ class SamPredictor:
         low_res, iou = self._decode(
             self.variables, self.features, jnp.asarray(coords), jnp.asarray(labels), multimask_output
         )
-        masks = postprocess_masks(
-            low_res, self.input_hw, self.original_hw, self.sam.config.encoder.img_size
-        )
+        masks = postprocess_masks(low_res, self.input_hw, self.original_hw)
         masks = np.asarray(masks[0])
         if not return_logits:
             masks = masks > 0.0

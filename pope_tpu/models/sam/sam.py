@@ -134,7 +134,7 @@ class Sam(nn.Module):
         return self.decode(emb, points, labels, multimask_output=multimask_output)
 
 
-def postprocess_masks(low_res_masks, input_hw, original_hw, img_size: int = 1024,
+def postprocess_masks(low_res_masks, input_hw, original_hw,
                       frame_hw: Optional[Tuple[int, int]] = None):
     """(B, K, 256, 256) logits -> (B, K, H0, W0) at the original image size
     (sam.py:133-162: upsample to 1024, strip padding, upsample to original).

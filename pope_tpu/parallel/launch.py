@@ -96,6 +96,21 @@ def resolve_env(
     """
     env = os.environ if environ is None else environ
     if coordinator is not None or (num_processes is not None and num_processes > 1):
+        # hold explicit args to the same contract as the preset env: a
+        # multi-process topology needs all three values, and failing here
+        # beats an opaque error deep inside jax.distributed.initialize
+        if (num_processes or 1) > 1 and (coordinator is None or process_id is None):
+            missing = [
+                name
+                for name, val in (
+                    ("coordinator", coordinator),
+                    ("process_id", process_id),
+                )
+                if val is None
+            ]
+            raise RuntimeError(
+                f"partially specified explicit distributed topology; missing {missing}"
+            )
         return DistributedEnv(coordinator, num_processes, process_id, "explicit")
 
     preset = {v: env[f"POPE_{v}"] for v in _PRESET_VARS if f"POPE_{v}" in env}

@@ -45,7 +45,7 @@ def demo_sam_masks(models, image_path: str, out_path: str = "LINEMOD_mask.png"):
     S = models.amg.sam_cfg.encoder.img_size
     in_hw = resize_longest_side(img.shape[0], img.shape[1], S)
     masks = postprocess_masks(
-        jnp.asarray(res.masks_low_res)[None], in_hw, img.shape[:2], S
+        jnp.asarray(res.masks_low_res)[None], in_hw, img.shape[:2]
     )[0]
     masks_bool = np.asarray(masks > 0)[ok]
     out = render_masks(cv2.cvtColor(img, cv2.COLOR_RGB2BGR), masks_bool)

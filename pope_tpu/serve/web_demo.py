@@ -80,11 +80,15 @@ class WebDemo:
 
         pts = np.asarray(points, np.float32).reshape(-1, 2)
         lbl = np.asarray(labels, np.float32).reshape(-1)
+        # the exported head has a STATIC point capacity (one slot reserved
+        # for the pad point); past it, keep the MOST RECENT points — the
+        # client appends the live hover point last, so dropping the oldest
+        # pin keeps the preview following the cursor instead of freezing
         n = min(len(pts), self.max_points - 1)
         coords = np.zeros((1, self.max_points, 2), np.float32)
         lab = np.full((1, self.max_points), -1.0, np.int32)
-        coords[0, :n] = pts[:n]
-        lab[0, :n] = lbl[:n].astype(np.int32)
+        coords[0, :n] = pts[len(pts) - n:]
+        lab[0, :n] = lbl[len(pts) - n:].astype(np.int32)
         # samScale (scaleHelper.tsx) == resize-longest-side coord transform
         coords = np.asarray(apply_coords(jnp.asarray(coords), self.orig_hw, self.img_size))
 

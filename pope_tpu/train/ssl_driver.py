@@ -155,7 +155,9 @@ def train_ssl(image_root: str,
     total = total_steps if total_steps is not None else cfg.total_iters
     nproc = jax.process_count()
     if batch_size % max(nproc, 1):
-        raise ValueError(f"batch_size {batch_size} must divide process count {nproc}")
+        raise ValueError(
+            f"batch_size {batch_size} must be divisible by process count {nproc}"
+        )
     batches = make_ssl_batches(
         image_root, cfg, batch_size // max(nproc, 1), seed=seed,
         rank=jax.process_index(), world=nproc,

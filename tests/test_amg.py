@@ -147,7 +147,7 @@ def test_amg_records_format(amg, rng):
     img = rng.uniform(0, 255, (200, 256, 3)).astype(np.uint8)
     res = amg.generate(img)
     in_hw = resize_longest_side(200, 256, amg.sam_cfg.encoder.img_size)
-    recs = amg_records(res, (200, 256), in_hw, amg.sam_cfg.encoder.img_size)
+    recs = amg_records(res, (200, 256), in_hw)
     assert len(recs) == int(np.asarray(res.valid).sum())
     for r in recs:
         assert r["segmentation"].shape == (200, 256)

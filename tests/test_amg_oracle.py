@@ -87,7 +87,7 @@ def _upsample_our_masks(res, keep=None):
 
     in_hw = resize_longest_side(256, 256, 256)
     up = postprocess_masks(
-        jnp.asarray(res.masks_low_res)[None], in_hw, (256, 256), 256
+        jnp.asarray(res.masks_low_res)[None], in_hw, (256, 256)
     )[0]
     m = np.asarray(up > 0)
     return m if keep is None else m[keep]

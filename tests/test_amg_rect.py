@@ -159,6 +159,33 @@ def test_predictor_rect_encode_matches_square(oracle_pair, rect_scene):  # noqa:
     np.testing.assert_allclose(preds[True][1], preds[False][1], atol=5e-3)
 
 
+def test_rect_odd_bytewidth_grid(oracle_pair):  # noqa: F811
+    """Aspect ratios whose low-res mask width is not a byte multiple (e.g.
+    a 256x100 frame -> 7-token-wide grid -> 28-px low-res masks) must run
+    through generate(): the bit-packed d2h transfer pads to bytes on device
+    and the host slices the unpacked bits back to the true width."""
+    _, variables, sam = oracle_pair
+    img = np.zeros((256, 100, 3), np.uint8)
+    img[:, :, 0] = np.linspace(40, 200, 100)[None, :].astype(np.uint8)
+    img[60:140, 20:80] = (250, 30, 30)
+    cfg = AMGConfig(
+        points_per_side=8, pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+        box_nms_thresh=1.5, min_mask_region_area=0, mask_capacity=16,
+        rect_encode=True,
+    )
+    ours = AutomaticMaskGenerator(sam, variables, cfg, TEST_CFG)
+    for keep_logits in (False, True):  # both the packed-bits and f32 paths
+        res = ours.generate_batch([img], keep_logits=keep_logits)[0]
+        assert res.masks_low_res.shape[-1] == 28  # ceil(100/16)*16 / 4
+        keep = np.asarray(res.valid)
+        assert keep.any()
+        b = np.asarray(res.boxes)[keep]
+        assert (b[:, [0, 2]] <= 100.0).all() and (b[:, [1, 3]] <= 256.0).all()
+        # capacity telemetry reaches the host result on the records path
+        # ("no silent caps"); 192 candidates with NMS off overflow cap=64
+        assert res.n_dropped is not None and float(res.n_dropped) > 0
+
+
 def test_rect_portrait_orientation(oracle_pair):  # noqa: F811
     """Portrait frames (h > w) produce the transposed rect grid and in-bounds
     boxes — the 48x64-vs-64x48 orientation is easy to get backwards."""

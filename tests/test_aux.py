@@ -141,17 +141,25 @@ def test_export_sam_prompt_head_full_surface(rng):
     lbl = jnp.asarray([[1, -1]], jnp.int32)
     mask_in = jnp.zeros((1, 64, 64, 1), jnp.float32)
     up, scores, low = fn.call(emb, pts, lbl, mask_in, jnp.zeros((1,)))
-    assert up.shape == (1, 3, 200, 256)
-    assert scores.shape == (1, 3) and low.shape[1] == 3
+    # ALL FOUR mask tokens, like the reference head (onnx.py:120-125 calls
+    # predict_masks and never takes the multimask slice)
+    assert up.shape == (1, 4, 200, 256)
+    assert scores.shape == (1, 4) and low.shape[1] == 4
 
-    # no-mask path == live decode + postprocess
-    ref_low, ref_iou = sam.apply(
+    # no-mask path == live decode + postprocess: token 0 is the single-mask
+    # decode, tokens 1..3 the multimask slice
+    ref_low_m, ref_iou_m = sam.apply(
         variables, emb, pts, lbl, multimask_output=True, method=sam.decode
     )
+    ref_low_0, ref_iou_0 = sam.apply(
+        variables, emb, pts, lbl, multimask_output=False, method=sam.decode
+    )
+    ref_low = jnp.concatenate([ref_low_0, ref_low_m], axis=1)
+    ref_iou = jnp.concatenate([ref_iou_0, ref_iou_m], axis=1)
     np.testing.assert_allclose(np.asarray(low), np.asarray(ref_low), atol=1e-5)
     np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_iou), atol=1e-5)
     in_hw = resize_longest_side(*orig_hw, 256)
-    ref_up = postprocess_masks(ref_low, in_hw, orig_hw, 256)
+    ref_up = postprocess_masks(ref_low, in_hw, orig_hw)
     np.testing.assert_allclose(np.asarray(up), np.asarray(ref_up), atol=1e-4)
 
     # a mask prompt with has_mask_input=1 changes the decode (untrained
@@ -173,7 +181,9 @@ def test_export_sam_prompt_head_full_surface(rng):
     head1 = load_exported(blob1).call
     up1, s1, low1 = head1(emb, pts, lbl, mask_in, jnp.zeros((1,)), jnp.asarray([2.0]))
     assert up1.shape == (1, 1, 200, 256) and s1.shape == (1, 1)
-    best = int(np.argmax(np.asarray(scores)[0]))
+    # click_count=2 -> token 0 reweighted by (2 - 2.5)*1000, so the best of
+    # the three multimask tokens wins
+    best = 1 + int(np.argmax(np.asarray(scores)[0, 1:]))
     np.testing.assert_allclose(np.asarray(low1)[0, 0], np.asarray(low)[0, best], atol=1e-5)
     # click_count=3 -> token 0 (the reference's "multiclick mask")
     ref_low0, _ = sam.apply(
