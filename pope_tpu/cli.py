@@ -11,7 +11,7 @@ Usage:
 Mirrors: eval_{linemod,onepose,ycb}_json.py / acc1-30_*.py (eval),
 visual_dinov2.py / visual_sam.py / visual_3dbbox.py (demos), linemod.py /
 onepose.py / ycbv.py (extract), train0429*.py / train0604.py (train),
-test0608.py (test).
+test0608.py (test), segment_anything/scripts/amg.py (amg).
 """
 
 from __future__ import annotations
@@ -71,6 +71,33 @@ def cmd_demo_sam(args):
     models = load_models(sam_checkpoint=args.sam_checkpoint, sam_type=args.sam_type)
     demo_sam_masks(models, args.image, args.out)
     print(f"wrote {args.out}")
+
+
+def cmd_amg(args):
+    """scripts/amg.py: batch mask generation over an image or directory,
+    writing PNG-folder + metadata.csv or COCO-RLE json per image."""
+    import dataclasses
+
+    from pope_tpu.config import PipelineConfig
+    from pope_tpu.pipeline import load_models
+    from pope_tpu.pipeline.amg_cli import run_amg
+
+    cfg = PipelineConfig()
+    overrides = {
+        k: getattr(args, k)
+        for k in (
+            "points_per_side", "pred_iou_thresh", "stability_score_thresh",
+            "box_nms_thresh", "min_mask_region_area", "mask_capacity",
+        )
+        if getattr(args, k) is not None
+    }
+    if overrides:
+        cfg = dataclasses.replace(cfg, amg=dataclasses.replace(cfg.amg, **overrides))
+    models = load_models(
+        config=cfg, sam_checkpoint=args.sam_checkpoint, sam_type=args.sam_type,
+    )
+    done = run_amg(models, args.input, args.output, convert_to_rle=args.convert_to_rle)
+    print(f"processed {len(done)} image(s) -> {args.output}")
 
 
 def cmd_demo_3dbbox(args):
@@ -203,6 +230,23 @@ def main(argv=None):
     ps.add_argument("--out", default="LINEMOD_mask.png")
     _add_model_args(ps)
     ps.set_defaults(fn=cmd_demo_sam)
+
+    pa = sub.add_parser(
+        "amg",
+        help="batch automatic mask generation (scripts/amg.py: PNG folder "
+        "+ metadata.csv per image, or COCO-RLE json with --convert-to-rle)",
+    )
+    pa.add_argument("--input", required=True, help="image file or directory")
+    pa.add_argument("--output", required=True, help="output directory")
+    pa.add_argument("--convert-to-rle", action="store_true")
+    pa.add_argument("--points-per-side", type=int, default=None)
+    pa.add_argument("--pred-iou-thresh", type=float, default=None)
+    pa.add_argument("--stability-score-thresh", type=float, default=None)
+    pa.add_argument("--box-nms-thresh", type=float, default=None)
+    pa.add_argument("--min-mask-region-area", type=int, default=None)
+    pa.add_argument("--mask-capacity", type=int, default=None)
+    _add_model_args(pa)
+    pa.set_defaults(fn=cmd_amg)
 
     pb = sub.add_parser("demo-3dbbox", help="single-pair pipeline + 3-D bbox render")
     pb.add_argument("--prompt", required=True, help="prompt image path")

@@ -49,6 +49,10 @@ class AMGResult(NamedTuple):
     # ("no silent caps": the reference AMG has no cap, so a crowded scene
     # must report its overflow instead of silently dropping candidates)
     n_dropped: jnp.ndarray = None
+    # (C,) index into the prompt point grid that generated each candidate
+    # (the reference records it as 'point_coords',
+    # automatic_mask_generator.py:189); None on paths that don't track it
+    point_idx: jnp.ndarray = None
 
     @property
     def boxes_xywh(self):
@@ -171,9 +175,10 @@ class AutomaticMaskGenerator:
                         r.n_dropped.astype(jnp.float32)[..., None, None],
                         r.iou_preds.shape + (1,),
                     ),
+                    r.point_idx.astype(jnp.float32)[..., None],
                 ],
                 axis=-1,
-            )  # (B, C, 9)
+            )  # (B, C, 10)
 
         self._pack_small_jit = jax.jit(_pack_small)
 
@@ -331,6 +336,7 @@ class AutomaticMaskGenerator:
             areas=areas[top_idx],
             valid=valid,
             n_dropped=n_dropped,
+            point_idx=top_idx // 3,  # candidates are prompt-major x 3 masks
         )
 
     def generate_from_embeddings(self, embeddings, orig_hw, input_hw) -> AMGResult:
@@ -419,6 +425,7 @@ class AutomaticMaskGenerator:
                 masks_low_res=logits_i, boxes=boxes_b[i], iou_preds=iou_b[i],
                 stability=stab_b[i], areas=areas_b[i], valid=valid_b[i],
                 n_dropped=np.float32(small_b[i, 0, 8]),
+                point_idx=small_b[i, :, 9].astype(np.int32),
             )
             if self.cfg.min_mask_region_area > 0:
                 r = postprocess_small_regions_host(
@@ -593,10 +600,11 @@ def postprocess_small_regions_host(
         areas=(out_masks.sum((-2, -1)) / scale).astype(np.float32),
         valid=keep & valid,
         n_dropped=result.n_dropped,
+        point_idx=result.point_idx,
     )
 
 
-def amg_records(result: AMGResult, orig_hw, input_hw):
+def amg_records(result: AMGResult, orig_hw, input_hw, point_grid01=None):
     """Convert an AMGResult to the reference's public record format
     (automatic_mask_generator.py:182-193): one dict per mask with
     'segmentation' (bool HxW at original size), 'area', 'bbox' (XYWH),
@@ -613,20 +621,29 @@ def amg_records(result: AMGResult, orig_hw, input_hw):
     boxes = np.asarray(result.boxes)
     ious = np.asarray(result.iou_preds)
     stab = np.asarray(result.stability)
+    # prompt provenance: the reference records the generating grid point
+    # ('point_coords') and the crop box (single-crop here, so the full
+    # image) per mask (automatic_mask_generator.py:184-192)
+    pts = None
+    if result.point_idx is not None and point_grid01 is not None:
+        wh = np.asarray([orig_hw[1], orig_hw[0]], np.float32)
+        pts = np.asarray(point_grid01)[np.asarray(result.point_idx)] * wh[None]
     records = []
     for i in range(len(ok)):
         if not ok[i]:
             continue
         seg = masks_full[i]
         x0, y0, x1, y1 = boxes[i]
-        records.append(
-            {
-                "segmentation": seg,
-                "rle": native.rle_encode(seg),
-                "area": int(seg.sum()),
-                "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
-                "predicted_iou": float(ious[i]),
-                "stability_score": float(stab[i]),
-            }
-        )
+        rec = {
+            "segmentation": seg,
+            "rle": native.rle_encode(seg),
+            "area": int(seg.sum()),
+            "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+            "predicted_iou": float(ious[i]),
+            "stability_score": float(stab[i]),
+            "crop_box": [0.0, 0.0, float(orig_hw[1]), float(orig_hw[0])],
+        }
+        if pts is not None:
+            rec["point_coords"] = [[float(pts[i, 0]), float(pts[i, 1])]]
+        records.append(rec)
     return records

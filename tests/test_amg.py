@@ -268,3 +268,84 @@ def test_crowded_scene_reports_dropped_candidates(amg, rng):
     _, valid, dropped = gen.generate_boxes_batch(imgs)
     assert bool(np.asarray(valid).any())
     assert int(np.asarray(dropped)[0]) > 0
+
+
+def test_coco_encode_rle_varint():
+    """coco_encode_rle implements pycocotools rleToString: delta coding from
+    the second-previous count, 5-bit signed varint chunks offset by 48.
+    Pinned by an independent decoder (rleFrString inverse)."""
+    from pope_tpu.pipeline.amg_cli import coco_encode_rle
+
+    def decode(s):
+        counts, i = [], 0
+        while i < len(s):
+            x, k, more = 0, 0, True
+            while more:
+                c = ord(s[i]) - 48
+                x |= (c & 0x1F) << (5 * k)
+                more = bool(c & 0x20)
+                if not more and (c & 0x10):
+                    x |= -1 << (5 * (k + 1))  # sign-extend
+                i += 1
+                k += 1
+            if len(counts) > 2:
+                x += counts[-2]
+            counts.append(x)
+        return counts
+
+    for counts in ([9, 2, 2, 2, 5], [0, 12], [3, 1, 4, 1, 5, 9, 2, 6], [100000, 7, 99999]):
+        enc = coco_encode_rle({"size": [4, 5], "counts": counts})
+        assert enc["size"] == [4, 5]
+        assert decode(enc["counts"]) == counts
+
+
+def test_amg_cli_tool(amg, rng, tmp_path):
+    """The batch AMG tool (scripts/amg.py): PNG folder + metadata.csv per
+    image, and --convert-to-rle json; point/crop provenance columns ride the
+    records."""
+    import cv2
+    import types
+
+    from pope_tpu.pipeline.amg_cli import run_amg, _METADATA_HEADER
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for name in ("a.png", "b.png"):
+        cv2.imwrite(str(ind / name), rng.uniform(0, 255, (96, 128, 3)).astype(np.uint8))
+    (ind / "notes.txt").write_text("not an image")
+    models = types.SimpleNamespace(amg=amg)
+
+    out1 = tmp_path / "png"
+    done = run_amg(models, str(ind), str(out1))
+    assert len(done) == 2
+    for base in ("a", "b"):
+        d = out1 / base
+        meta = (d / "metadata.csv").read_text().splitlines()
+        assert meta[0] == _METADATA_HEADER
+        n = len(meta) - 1
+        assert n == len(list(d.glob("*.png")))
+        for row in meta[1:]:
+            vals = row.split(",")
+            assert len(vals) == 14
+            # point provenance inside the image, crop box == full image
+            px, py = float(vals[6]), float(vals[7])
+            assert 0 <= px <= 128 and 0 <= py <= 96
+            assert [float(v) for v in vals[10:14]] == [0.0, 0.0, 128.0, 96.0]
+        m0 = cv2.imread(str(d / "0.png"), cv2.IMREAD_GRAYSCALE)
+        assert m0.shape == (96, 128) and set(np.unique(m0)) <= {0, 255}
+
+    out2 = tmp_path / "rle"
+    run_amg(models, str(ind / "a.png"), str(out2), convert_to_rle=True)
+    import json as _json
+
+    anns = _json.loads((out2 / "a.json").read_text())
+    assert anns and all(
+        isinstance(a["segmentation"]["counts"], str) and "point_coords" in a
+        for a in anns
+    )
+    # compressed counts decode back to the mask's pixel count
+    from pope_tpu import native
+
+    rec0 = anns[0]
+    total = sum(native.rle_encode(np.zeros((96, 128), bool))["counts"])
+    assert sum(rec0["bbox"]) > 0 and rec0["area"] <= total

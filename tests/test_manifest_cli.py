@@ -46,3 +46,5 @@ def test_cli_surface():
         cli_main(["--help"])
     with pytest.raises(SystemExit):
         cli_main(["eval", "--dataset", "nonsense"])  # invalid choice
+    with pytest.raises(SystemExit):
+        cli_main(["amg"])  # missing required --input/--output
