@@ -100,6 +100,19 @@ def cmd_amg(args):
     print(f"processed {len(done)} image(s) -> {args.output}")
 
 
+def cmd_parse_lm(args):
+    """parse_lm_real_data.py / scripts/parse_linemod_objs.sh: convert
+    CDPN-format LINEMOD to the OnePose directory layout."""
+    from pope_tpu.eval.parse_lm import convert_all, convert_object
+
+    if args.obj_id is not None:
+        for split in args.splits:
+            convert_object(args.data_base_dir, args.obj_id, args.output_dir, split=split)
+    else:
+        convert_all(args.data_base_dir, args.output_dir, splits=tuple(args.splits))
+    print(f"converted -> {args.output_dir}")
+
+
 def cmd_demo_3dbbox(args):
     """visual_3dbbox.py: one (prompt, target) pair -> query_result.png +
     3D_BBox.png. K0/K1/bbox default to the reference's hardcoded demo
@@ -247,6 +260,15 @@ def main(argv=None):
     pa.add_argument("--mask-capacity", type=int, default=None)
     _add_model_args(pa)
     pa.set_defaults(fn=cmd_amg)
+
+    pl = sub.add_parser(
+        "parse-lm", help="convert CDPN-format LINEMOD to the OnePose layout"
+    )
+    pl.add_argument("--data-base-dir", required=True)
+    pl.add_argument("--output-dir", required=True)
+    pl.add_argument("--obj-id", type=int, default=None, help="single object id (default: all)")
+    pl.add_argument("--splits", nargs="+", default=["train", "val"])
+    pl.set_defaults(fn=cmd_parse_lm)
 
     pb = sub.add_parser("demo-3dbbox", help="single-pair pipeline + 3-D bbox render")
     pb.add_argument("--prompt", required=True, help="prompt image path")
