@@ -153,22 +153,31 @@ class Matcher(nn.Module):
             cm = gt_pad_matches(cm, gt_valid, gt_j_of_i, gt_min, key=gt_pad_key)
 
         # ---- fine stage ----
+        # always f32, even when cfg.dtype is bf16: the fine window transformer
+        # is ~12% of the coarse attention FLOPs (M x 25 tokens at d=128), so
+        # bf16 buys ~nothing here, while its feature noise lands directly in
+        # the sub-pixel expectation (measured +2 deg on the synthetic-harness
+        # R median with a fully-bf16 matcher; coarse selection is robust)
         W = cfg.fine_window_size
         WW = W * W
         stride = cfg.coarse_stride // cfg.fine_stride
         d_f = cfg.fine.d_model
-        win0 = extract_fine_windows(feat_f0, cm.i_ids, (h0c, w0c), W, stride)
-        win1 = extract_fine_windows(feat_f1, cm.j_ids, (h1c, w1c), W, stride)
+        win0 = extract_fine_windows(
+            feat_f0.astype(jnp.float32), cm.i_ids, (h0c, w0c), W, stride
+        )
+        win1 = extract_fine_windows(
+            feat_f1.astype(jnp.float32), cm.j_ids, (h1c, w1c), W, stride
+        )
 
         if cfg.fine_concat_coarse_feat:
             # coarse context: project the matched coarse features and merge
             # into every window position (fine_preprocess.py:53-58)
             c0_sel = jnp.take_along_axis(f0, cm.i_ids[..., None], axis=1)  # (B, M, C)
             c1_sel = jnp.take_along_axis(f1, cm.j_ids[..., None], axis=1)
-            down = nn.Dense(d_f, use_bias=True, dtype=dtype, name="fine_down_proj")
-            merge = nn.Dense(d_f, use_bias=True, dtype=dtype, name="fine_merge_feat")
-            c0_d = down(c0_sel)
-            c1_d = down(c1_sel)
+            down = nn.Dense(d_f, use_bias=True, name="fine_down_proj")
+            merge = nn.Dense(d_f, use_bias=True, name="fine_merge_feat")
+            c0_d = down(c0_sel.astype(jnp.float32))
+            c1_d = down(c1_sel.astype(jnp.float32))
             win0 = merge(jnp.concatenate([win0, jnp.broadcast_to(c0_d[..., None, :], win0.shape[:2] + (WW, d_f))], -1))
             win1 = merge(jnp.concatenate([win1, jnp.broadcast_to(c1_d[..., None, :], win1.shape[:2] + (WW, d_f))], -1))
 
@@ -178,7 +187,6 @@ class Matcher(nn.Module):
             nhead=cfg.fine.nhead,
             layer_names=tuple(cfg.fine.layer_names),
             attention=cfg.fine.attention,
-            dtype=dtype,
             name="loftr_fine",
         )(win0.reshape(B * M, WW, d_f), win1.reshape(B * M, WW, d_f))
 
