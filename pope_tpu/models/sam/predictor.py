@@ -110,3 +110,51 @@ class SamPredictor:
         if not return_logits:
             masks = masks > 0.0
         return masks, np.asarray(iou[0]), np.asarray(low_res[0])
+
+    def predict_batched(
+        self,
+        point_coords: Optional[np.ndarray] = None,
+        point_labels: Optional[np.ndarray] = None,
+        boxes: Optional[np.ndarray] = None,
+        multimask_output: bool = True,
+        return_logits: bool = False,
+    ):
+        """The reference's `predict_torch` surface (predictor.py:170-245):
+        a BATCH of prompt sets against the cached embedding in one decode
+        dispatch — boxes (B, 4) and/or per-set points (B, N, 2) with labels
+        (B, N), ORIGINAL image coords. Returns (masks (B, K, H, W),
+        iou (B, K), low_res (B, K, 256, 256)); K = 3 if multimask_output
+        else 1. Boxes embed as their two corner points with labels 2/3
+        (prompt_encoder.py:155-159); point-only batches get the reference's
+        single pad slot."""
+        assert self.is_image_set, "call set_image first"
+        parts, lparts = [], []
+        if point_coords is not None:
+            pc = np.asarray(point_coords, np.float32)
+            assert pc.ndim == 3, "predict_batched expects (B, N, 2) points"
+            parts.append(pc)
+            lparts.append(np.asarray(point_labels, np.int32).reshape(pc.shape[:2]))
+        if boxes is not None:
+            b = np.asarray(boxes, np.float32).reshape(-1, 2, 2)
+            parts.append(b)
+            lparts.append(np.broadcast_to(np.asarray([2, 3], np.int32), (len(b), 2)))
+        assert parts, "need points and/or boxes"
+        if len(parts) == 2 and len(parts[0]) != len(parts[1]):
+            raise ValueError("point and box batch sizes differ")
+        if boxes is None:
+            B = len(parts[0])
+            parts.append(np.zeros((B, 1, 2), np.float32))
+            lparts.append(np.full((B, 1), -1, np.int32))
+        coords = np.concatenate(parts, axis=1)
+        labels = np.concatenate(lparts, axis=1)
+        coords = np.asarray(
+            apply_coords(jnp.asarray(coords), self.original_hw, self.sam.config.encoder.img_size)
+        )
+        low_res, iou = self._decode(
+            self.variables, self.features, jnp.asarray(coords), jnp.asarray(labels), multimask_output
+        )
+        masks = postprocess_masks(low_res, self.input_hw, self.original_hw)
+        masks = np.asarray(masks)
+        if not return_logits:
+            masks = masks > 0.0
+        return masks, np.asarray(iou), np.asarray(low_res)

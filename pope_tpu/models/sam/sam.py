@@ -49,6 +49,14 @@ def apply_coords(coords, orig_hw: Tuple[int, int], long_side: int = 1024):
     return coords * jnp.asarray([new_w / old_w, new_h / old_h], jnp.float32)
 
 
+def apply_boxes(boxes, orig_hw: Tuple[int, int], long_side: int = 1024):
+    """Rescale (..., 4) XYXY boxes to the resized-longest-side frame
+    (transforms.py:51-57: boxes are corner-point pairs under apply_coords)."""
+    boxes = jnp.asarray(boxes)
+    pts = apply_coords(boxes.reshape(boxes.shape[:-1] + (2, 2)), orig_hw, long_side)
+    return pts.reshape(boxes.shape)
+
+
 class Sam(nn.Module):
     config: SamConfig = SamConfig()
 

@@ -201,3 +201,50 @@ def test_amg_end_to_end_parity(oracle_pair, scene):
     arg = iou_m.argmax(1)
     assert len(set(arg.tolist())) == len(arg), "correspondence is not 1:1"
     assert np.abs(our_boxes - ref_boxes[arg]).max() <= BOX_TOL
+
+
+def test_predict_batched_oracle_parity(oracle_pair, scene):
+    """`SamPredictor.predict_batched` vs the reference `predict_torch`
+    (predictor.py:170-245): a batch of 3 boxes against one cached embedding
+    must reproduce the reference's per-box masks, IoU predictions, and
+    low-res logits on the shared surgical weights; apply_boxes must match
+    ResizeLongestSide.apply_boxes_torch."""
+    ref_sam, variables, sam = oracle_pair
+    from segment_anything.segment_anything.predictor import SamPredictor as RefPredictor
+    from pope_tpu.models.sam.predictor import SamPredictor
+    from pope_tpu.models.sam.sam import apply_boxes
+
+    boxes = np.array(
+        [[50, 40, 120, 100], [140, 150, 230, 220], [170, 30, 240, 80]], np.float32
+    )
+
+    rp = RefPredictor(ref_sam)
+    rp.set_image(scene)
+    tb = rp.transform.apply_boxes_torch(torch.from_numpy(boxes), scene.shape[:2])
+    with torch.no_grad():
+        r_masks, r_iou, r_low = rp.predict_torch(
+            None, None, boxes=tb, multimask_output=True
+        )
+    r_masks, r_iou, r_low = (t.numpy() for t in (r_masks, r_iou, r_low))
+
+    # transform parity
+    np.testing.assert_allclose(
+        np.asarray(apply_boxes(boxes, scene.shape[:2], 256)), tb.numpy(), atol=1e-5
+    )
+
+    p = SamPredictor(sam, variables)
+    p.set_image(scene)
+    masks, iou, low = p.predict_batched(boxes=boxes, multimask_output=True)
+    assert masks.shape == r_masks.shape == (3, 3, 256, 256)
+    np.testing.assert_allclose(iou, r_iou, atol=5e-3)
+    np.testing.assert_allclose(low, r_low, atol=5e-2)
+    agree = (masks == r_masks).mean(axis=(-2, -1))
+    assert (agree > 0.995).all(), agree
+
+    # points+boxes batch shape contract (one point set per box)
+    pts = boxes.reshape(3, 2, 2).mean(axis=1, keepdims=True)
+    m2, i2, l2 = p.predict_batched(
+        point_coords=pts, point_labels=np.ones((3, 1), np.int32),
+        boxes=boxes, multimask_output=False,
+    )
+    assert m2.shape == (3, 1, 256, 256) and i2.shape == (3, 1)
