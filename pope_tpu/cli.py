@@ -100,6 +100,48 @@ def cmd_amg(args):
     print(f"processed {len(done)} image(s) -> {args.output}")
 
 
+def cmd_export(args):
+    """scripts/export_onnx_model.py: serialize a serving head as a StableHLO
+    artifact (the ONNX surface's jax-world equivalent)."""
+    from pope_tpu.export import (
+        export_dinov2,
+        export_matcher,
+        export_sam_decoder,
+        export_sam_prompt_head,
+    )
+    from pope_tpu.pipeline import load_models
+
+    models = load_models(
+        sam_checkpoint=args.sam_checkpoint, sam_type=args.sam_type,
+        dinov2_checkpoint=args.dinov2_checkpoint,
+        matcher_checkpoint=args.matcher_checkpoint,
+    )
+    if args.target == "sam-prompt-head":
+        export_sam_prompt_head(
+            models.sam, models.sam_variables, orig_hw=(args.orig_h, args.orig_w),
+            num_points=args.num_points,
+            return_single_mask=args.return_single_mask,
+            use_stability_score=args.use_stability_score, path=args.output,
+        )
+    elif args.target == "sam-decoder":
+        export_sam_decoder(
+            models.sam, models.sam_variables, num_points=args.num_points,
+            path=args.output,
+        )
+    elif args.target == "matcher":
+        export_matcher(
+            models.matcher, models.matcher_variables,
+            hw0=(args.orig_h, args.orig_w), hw1=(args.crop_size, args.crop_size),
+            path=args.output,
+        )
+    else:  # dinov2
+        export_dinov2(
+            models.dinov2, models.dinov2_variables,
+            img_size=models.config.dinov2.img_size, path=args.output,
+        )
+    print(f"wrote {args.output}")
+
+
 def cmd_parse_lm(args):
     """parse_lm_real_data.py / scripts/parse_linemod_objs.sh: convert
     CDPN-format LINEMOD to the OnePose directory layout."""
@@ -260,6 +302,25 @@ def main(argv=None):
     pa.add_argument("--mask-capacity", type=int, default=None)
     _add_model_args(pa)
     pa.set_defaults(fn=cmd_amg)
+
+    pex = sub.add_parser(
+        "export",
+        help="serialize a serving head as StableHLO "
+        "(scripts/export_onnx_model.py equivalent)",
+    )
+    pex.add_argument(
+        "--target", required=True,
+        choices=["sam-prompt-head", "sam-decoder", "matcher", "dinov2"],
+    )
+    pex.add_argument("--output", required=True)
+    pex.add_argument("--orig-h", type=int, default=480)
+    pex.add_argument("--orig-w", type=int, default=640)
+    pex.add_argument("--crop-size", type=int, default=256)
+    pex.add_argument("--num-points", type=int, default=8)
+    pex.add_argument("--return-single-mask", action="store_true")
+    pex.add_argument("--use-stability-score", action="store_true")
+    _add_model_args(pex)
+    pex.set_defaults(fn=cmd_export)
 
     pl = sub.add_parser(
         "parse-lm", help="convert CDPN-format LINEMOD to the OnePose layout"

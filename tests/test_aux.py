@@ -231,3 +231,79 @@ def test_export_matcher_and_dinov2(rng):
     cls = dfn.call(x)
     ref = dinov2.apply(d_vars, x)["x_norm_clstoken"]
     np.testing.assert_allclose(np.asarray(cls), np.asarray(ref), atol=1e-5)
+
+
+def test_export_cli(rng, tmp_path, monkeypatch):
+    """`pope export` drives the export functions end to end: the written
+    artifacts must deserialize and run (scripts/export_onnx_model.py
+    equivalent)."""
+    import jax
+
+    from pope_tpu.cli import main as cli_main
+    from pope_tpu.config import (
+        BackboneConfig, CoarseMatchConfig, DinoV2Config, LoFTRStageConfig,
+        MatcherConfig, PipelineConfig,
+    )
+    from pope_tpu.export import load_exported
+    from pope_tpu.models.dinov2 import DinoVisionTransformer
+    from pope_tpu.models.matcher import Matcher
+    from pope_tpu.models.sam import Sam, convert_torch_sam_state
+    from pope_tpu.pipeline.api import PopeModels
+    from tests.test_sam_parity import TEST_CFG
+    from tests.torch_ref import load_reference_sam
+
+    _, sd = load_reference_sam(seed=11, size="test")
+    sam_vars = convert_torch_sam_state(sd, depth=4)
+    sam = Sam(TEST_CFG)
+    dcfg = DinoV2Config(img_size=56, embed_dim=32, depth=2, num_heads=2)
+    dinov2 = DinoVisionTransformer(dcfg)
+    d_vars = dinov2.init(jax.random.PRNGKey(0), np.zeros((1, 56, 56, 3), np.float32))
+    mcfg = MatcherConfig(
+        backbone=BackboneConfig(initial_dim=16, block_dims=(16, 24, 32)),
+        coarse=LoFTRStageConfig(d_model=32, d_ffn=32, nhead=2, layer_names=("self", "cross")),
+        fine=LoFTRStageConfig(d_model=16, d_ffn=16, nhead=2, layer_names=("self", "cross")),
+        match_coarse=CoarseMatchConfig(match_capacity=32),
+    )
+    matcher = Matcher(mcfg)
+    m_vars = matcher.init(jax.random.PRNGKey(1), np.zeros((1, 64, 64, 1), np.float32),
+                          np.zeros((1, 64, 64, 1), np.float32))
+    tiny = PopeModels(
+        sam=sam, sam_variables=sam_vars, dinov2=dinov2, dinov2_variables=d_vars,
+        matcher=matcher, matcher_variables=m_vars, amg=None,
+        config=PipelineConfig(dinov2=dcfg, matcher=mcfg),
+    )
+    import pope_tpu.pipeline
+
+    monkeypatch.setattr(pope_tpu.pipeline, "load_models", lambda **kw: tiny)
+
+    out = tmp_path / "head.bin"
+    cli_main([
+        "export", "--target", "sam-prompt-head", "--output", str(out),
+        "--orig-h", "200", "--orig-w", "256", "--num-points", "2",
+        "--return-single-mask",
+    ])
+    head = load_exported(out.read_bytes())
+    emb = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 64)), jnp.float32)
+    pts = jnp.asarray(rng.uniform(0, 256, (1, 2, 2)), jnp.float32)
+    lbl = jnp.asarray([[1, -1]], jnp.int32)
+    up, s, low = head.call(
+        emb, pts, lbl, jnp.zeros((1, 64, 64, 1)), jnp.zeros((1,)), jnp.asarray([2.0])
+    )
+    assert up.shape == (1, 1, 200, 256)
+
+    out2 = tmp_path / "dino.bin"
+    cli_main(["export", "--target", "dinov2", "--output", str(out2)])
+    dfn = load_exported(out2.read_bytes())
+    cls = dfn.call(jnp.asarray(rng.normal(0, 1, (1, 56, 56, 3)), jnp.float32))
+    assert cls.shape == (1, 32)
+
+    out3 = tmp_path / "matcher.bin"
+    cli_main([
+        "export", "--target", "matcher", "--output", str(out3),
+        "--orig-h", "64", "--orig-w", "64", "--crop-size", "64",
+    ])
+    mfn = load_exported(out3.read_bytes())
+    mk0, mk1, conf, valid = mfn.call(
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 64, 64, 1))
+    )
+    assert mk0.shape[0] == 1
