@@ -88,6 +88,7 @@ def cmd_amg(args):
         for k in (
             "points_per_side", "pred_iou_thresh", "stability_score_thresh",
             "box_nms_thresh", "min_mask_region_area", "mask_capacity",
+            "crop_n_layers", "crop_nms_thresh",
         )
         if getattr(args, k) is not None
     }
@@ -300,6 +301,8 @@ def main(argv=None):
     pa.add_argument("--box-nms-thresh", type=float, default=None)
     pa.add_argument("--min-mask-region-area", type=int, default=None)
     pa.add_argument("--mask-capacity", type=int, default=None)
+    pa.add_argument("--crop-n-layers", type=int, default=None)
+    pa.add_argument("--crop-nms-thresh", type=float, default=None)
     _add_model_args(pa)
     pa.set_defaults(fn=cmd_amg)
 

@@ -171,6 +171,15 @@ class AMGConfig:
     box_nms_thresh: float = 0.35
     min_mask_region_area: int = 250
     mask_capacity: int = 64  # static cap on surviving masks (TPU-native)
+    # multi-scale crop layers (automatic_mask_generator.py:45-48): layer i
+    # re-runs the grid on (2^i)^2 overlapping crops. POPE runs 0 (the fused
+    # single-crop device path); >0 switches generate_records to a
+    # host-orchestrated per-crop loop (one encoder program per distinct
+    # patch-quantized crop shape)
+    crop_n_layers: int = 0
+    crop_nms_thresh: float = 0.35
+    crop_overlap_ratio: float = 512 / 1500
+    crop_n_points_downscale_factor: int = 1
     # prompts decoded per lax.map step inside one program: bounds the decoder's
     # upscaling intermediates (~chunk x 32ch x 256^2 f32) so the pair axis can
     # batch without OOMing HBM; 0 disables chunking. 128 measures ~60ms/batch

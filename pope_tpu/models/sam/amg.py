@@ -445,6 +445,173 @@ class AutomaticMaskGenerator:
         return [finish(i) for i in range(n)]
 
 
+    def generate_records(self, image_rgb: np.ndarray) -> list:
+        """Reference-format mask records for one image, honoring
+        cfg.crop_n_layers: the single-crop fused device path when 0 (POPE's
+        configuration), else the reference's multi-scale crop sweep
+        (automatic_mask_generator.py:197-263) orchestrated on host over the
+        same per-crop device programs."""
+        if self.cfg.crop_n_layers == 0:
+            from pope_tpu.models.sam.sam import resize_longest_side
+
+            res = self.generate(image_rgb)
+            S = self.sam_cfg.encoder.img_size
+            in_hw = resize_longest_side(*image_rgb.shape[:2], S)
+            return amg_records(
+                res, image_rgb.shape[:2], in_hw, point_grid01=self._grid01
+            )
+        return self._generate_multicrop_records(np.asarray(image_rgb, np.uint8))
+
+    def _generate_multicrop_records(self, image: np.ndarray) -> list:
+        """crop_n_layers > 0: per-crop grid prompts -> filters -> crop-edge
+        dedupe -> per-crop NMS -> uncrop -> cross-crop NMS (preferring
+        smaller crops) -> full-res small-region cleanup, mirroring
+        `_generate_masks`/`_process_crop`/`_process_batch` exactly. Masks
+        merge at ORIGINAL resolution on host (the fixed-capacity low-res
+        AMGResult layout cannot represent several crop frames), so this
+        path trades the fused single-dispatch structure for the reference's
+        full crop semantics."""
+        import dataclasses
+
+        from pope_tpu import native
+        from pope_tpu.models.sam.sam import postprocess_masks, resize_longest_side
+        from pope_tpu.ops.masks import (
+            build_all_layer_point_grids,
+            generate_crop_boxes,
+            is_box_near_crop_edge_np,
+        )
+
+        cfg = self.cfg
+        oh, ow = image.shape[:2]
+        crop_boxes, layer_idxs = generate_crop_boxes(
+            (oh, ow), cfg.crop_n_layers, cfg.crop_overlap_ratio
+        )
+        grids = build_all_layer_point_grids(
+            cfg.points_per_side, cfg.crop_n_layers, cfg.crop_n_points_downscale_factor
+        )
+
+        # one sub-generator per layer: full candidate capacity, NMS and
+        # small-region cleanup deferred to THIS host loop so the reference's
+        # ordering (edge filter BEFORE per-crop NMS, cleanup after the
+        # cross-crop merge) is preserved
+        layer_gens = {}
+
+        def gen_for(layer):
+            if layer not in layer_gens:
+                pps = max(int(cfg.points_per_side / (cfg.crop_n_points_downscale_factor**layer)), 1)
+                sub_cfg = dataclasses.replace(
+                    cfg, points_per_side=pps, box_nms_thresh=1.5,
+                    min_mask_region_area=0, mask_capacity=pps * pps * 3,
+                    crop_n_layers=0,
+                )
+                layer_gens[layer] = AutomaticMaskGenerator(
+                    self.sam, self.variables, sub_cfg, self.sam_cfg
+                )
+            return layer_gens[layer]
+
+        masks_all, boxes_all, iou_all, stab_all = [], [], [], []
+        pts_all, cbox_all = [], []
+        for crop_box, layer in zip(crop_boxes, layer_idxs):
+            x0, y0, x1, y1 = crop_box
+            sub = np.ascontiguousarray(image[y0:y1, x0:x1])
+            ch, cw = sub.shape[:2]
+            gen = gen_for(layer)
+            # true logits: the reference thresholds AFTER bilinear upsampling
+            # to crop resolution, so boundary placement needs the real values
+            res = gen.generate_batch([sub], keep_logits=True)[0]
+            valid = np.asarray(res.valid)
+            if not valid.any():
+                continue
+            boxes = np.asarray(res.boxes)  # crop coords
+            iou = np.asarray(res.iou_preds)
+            # edge filter before NMS (_process_batch:312)
+            valid = valid & ~is_box_near_crop_edge_np(
+                boxes, crop_box, [0, 0, ow, oh]
+            )
+            keep = _nms_host(boxes, iou, cfg.box_nms_thresh, valid)
+            if not keep.any():
+                continue
+            idx = np.nonzero(keep)[0]
+            # upsample the kept low-res masks to crop resolution, paste into
+            # the full frame (uncrop_masks, amg.py:255-264)
+            in_hw = resize_longest_side(ch, cw, self.sam_cfg.encoder.img_size)
+            up = postprocess_masks(
+                jnp.asarray(res.masks_low_res[idx])[None], in_hw, (ch, cw)
+            )[0]
+            up = np.asarray(up > MASK_THRESHOLD)
+            full = np.zeros((len(idx), oh, ow), bool)
+            full[:, y0:y1, x0:x1] = up
+            masks_all.append(full)
+            boxes_all.append(boxes[idx] + np.asarray([x0, y0, x0, y0], np.float32))
+            iou_all.append(iou[idx])
+            stab_all.append(np.asarray(res.stability)[idx])
+            grid = grids[layer]
+            pt = grid[np.asarray(res.point_idx)[idx]] * np.asarray([cw, ch], np.float32)
+            pts_all.append(pt + np.asarray([x0, y0], np.float32))
+            cbox_all.append(np.tile(np.asarray(crop_box, np.float32), (len(idx), 1)))
+
+        if not masks_all:
+            return []
+        masks = np.concatenate(masks_all)
+        boxes = np.concatenate(boxes_all)
+        iou = np.concatenate(iou_all)
+        stab = np.concatenate(stab_all)
+        pts = np.concatenate(pts_all)
+        cboxes = np.concatenate(cbox_all)
+
+        if len(crop_boxes) > 1:
+            # prefer masks from smaller crops (_generate_masks:210-220)
+            areas = (cboxes[:, 2] - cboxes[:, 0]) * (cboxes[:, 3] - cboxes[:, 1])
+            keep = _nms_host(
+                boxes, (1.0 / np.maximum(areas, 1.0)).astype(np.float32),
+                cfg.crop_nms_thresh, np.ones(len(boxes), bool),
+            )
+            masks, boxes, iou, stab, pts, cboxes = (
+                a[keep] for a in (masks, boxes, iou, stab, pts, cboxes)
+            )
+
+        if cfg.min_mask_region_area > 0:
+            # full-res small-region cleanup + re-NMS preferring untouched
+            # masks (postprocess_small_regions, automatic_mask_generator.py:323-372)
+            changed = np.zeros(len(masks), bool)
+            for i in range(len(masks)):
+                m, ch1 = native.remove_small_regions(
+                    masks[i], cfg.min_mask_region_area, "holes"
+                )
+                m, ch2 = native.remove_small_regions(
+                    m, cfg.min_mask_region_area, "islands"
+                )
+                masks[i] = m
+                changed[i] = ch1 or ch2
+            boxes = _mask_to_box_np(masks).astype(np.float32)
+            keep = _nms_host(
+                boxes, np.where(changed, 0.0, 1.0).astype(np.float32),
+                max(cfg.box_nms_thresh, cfg.crop_nms_thresh),
+                masks.any((-2, -1)),
+            )
+            masks, boxes, iou, stab, pts, cboxes = (
+                a[keep] for a in (masks, boxes, iou, stab, pts, cboxes)
+            )
+
+        records = []
+        for i in range(len(masks)):
+            x0, y0, x1, y1 = boxes[i]
+            cx0, cy0, cx1, cy1 = cboxes[i]
+            records.append(
+                {
+                    "segmentation": masks[i],
+                    "rle": native.rle_encode(masks[i]),
+                    "area": int(masks[i].sum()),
+                    "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+                    "predicted_iou": float(iou[i]),
+                    "stability_score": float(stab[i]),
+                    "point_coords": [[float(pts[i, 0]), float(pts[i, 1])]],
+                    "crop_box": [float(cx0), float(cy0), float(cx1 - cx0), float(cy1 - cy0)],
+                }
+            )
+        return records
+
+
 def _mask_to_box_np(masks: np.ndarray) -> np.ndarray:
     """numpy twin of ops.masks.batched_mask_to_box ((C, H, W) bool -> (C, 4))."""
     C, h, w = masks.shape

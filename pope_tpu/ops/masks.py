@@ -49,6 +49,48 @@ def build_point_grid(n_per_side: int) -> np.ndarray:
     return np.stack([x, y], axis=-1).reshape(-1, 2)
 
 
+def build_all_layer_point_grids(n_per_side: int, n_layers: int, scale_per_layer: int):
+    """Per-crop-layer point grids: layer i uses n_per_side/scale^i points to
+    a side (amg.py:190-198)."""
+    return [
+        build_point_grid(int(n_per_side / (scale_per_layer**i)))
+        for i in range(n_layers + 1)
+    ]
+
+
+def generate_crop_boxes(im_size, n_layers: int, overlap_ratio: float):
+    """XYXY crop boxes per layer: layer 0 is the full image, layer i has
+    (2^i)^2 overlapping crops (amg.py:200-232). Returns (boxes, layer_idxs)."""
+    import math
+
+    im_h, im_w = im_size
+    short_side = min(im_h, im_w)
+    crop_boxes, layer_idxs = [[0, 0, im_w, im_h]], [0]
+
+    def crop_len(orig_len, n_crops, overlap):
+        return int(math.ceil((overlap * (n_crops - 1) + orig_len) / n_crops))
+
+    for i_layer in range(n_layers):
+        n_per_side = 2 ** (i_layer + 1)
+        overlap = int(overlap_ratio * short_side * (2 / n_per_side))
+        cw = crop_len(im_w, n_per_side, overlap)
+        ch = crop_len(im_h, n_per_side, overlap)
+        for x0 in (int((cw - overlap) * i) for i in range(n_per_side)):
+            for y0 in (int((ch - overlap) * i) for i in range(n_per_side)):
+                crop_boxes.append([x0, y0, min(x0 + cw, im_w), min(y0 + ch, im_h)])
+                layer_idxs.append(i_layer + 1)
+    return crop_boxes, layer_idxs
+
+
+def is_box_near_crop_edge_np(boxes: np.ndarray, crop_box, orig_box, atol: float = 20.0):
+    """(N,) bool: box touches the crop boundary but not the image boundary
+    (amg.py:78-88). `boxes` are in CROP coordinates."""
+    boxes = boxes + np.asarray([crop_box[0], crop_box[1], crop_box[0], crop_box[1]], np.float32)
+    near_crop = np.isclose(boxes, np.asarray(crop_box, np.float32)[None], atol=atol, rtol=0)
+    near_img = np.isclose(boxes, np.asarray(orig_box, np.float32)[None], atol=atol, rtol=0)
+    return (near_crop & ~near_img).any(axis=1)
+
+
 def box_iou(boxes_a, boxes_b):
     """Pairwise IoU of XYXY boxes: (N, 4) x (M, 4) -> (N, M)."""
     area_a = jnp.maximum(boxes_a[:, 2] - boxes_a[:, 0], 0) * jnp.maximum(
