@@ -112,10 +112,15 @@ def cmd_export(args):
     )
     from pope_tpu.pipeline import load_models
 
+    component = {
+        "sam-prompt-head": "sam", "sam-decoder": "sam",
+        "matcher": "matcher", "dinov2": "dinov2",
+    }[args.target]
     models = load_models(
         sam_checkpoint=args.sam_checkpoint, sam_type=args.sam_type,
         dinov2_checkpoint=args.dinov2_checkpoint,
         matcher_checkpoint=args.matcher_checkpoint,
+        components=(component,),
     )
     if args.target == "sam-prompt-head":
         export_sam_prompt_head(
@@ -136,9 +141,13 @@ def cmd_export(args):
             path=args.output,
         )
     else:  # dinov2
+        # default 196: what the pipeline actually serves (center-crop to
+        # 196px, pose_pipeline retrieval crops) — NOT config.dinov2.img_size
+        # (the pretrain resolution, 518); jax.export artifacts are
+        # static-shape, so the export resolution must match the consumer
         export_dinov2(
             models.dinov2, models.dinov2_variables,
-            img_size=models.config.dinov2.img_size, path=args.output,
+            img_size=args.img_size, path=args.output,
         )
     print(f"wrote {args.output}")
 
@@ -320,6 +329,10 @@ def main(argv=None):
     pex.add_argument("--orig-w", type=int, default=640)
     pex.add_argument("--crop-size", type=int, default=256)
     pex.add_argument("--num-points", type=int, default=8)
+    pex.add_argument(
+        "--img-size", type=int, default=196,
+        help="dinov2 export input resolution (196 = the pipeline's serving crop)",
+    )
     pex.add_argument("--return-single-mask", action="store_true")
     pex.add_argument("--use-stability-score", action="store_true")
     _add_model_args(pex)

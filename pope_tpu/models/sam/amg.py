@@ -455,6 +455,14 @@ class AutomaticMaskGenerator:
             from pope_tpu.models.sam.sam import resize_longest_side
 
             res = self.generate(image_rgb)
+            n_dropped = int(np.asarray(res.n_dropped))
+            if n_dropped > 0:
+                from pope_tpu.utils.logging import get_logger
+
+                get_logger().warning(
+                    "%d masks over mask_capacity were dropped "
+                    "(raise AMGConfig.mask_capacity)", n_dropped,
+                )
             S = self.sam_cfg.encoder.img_size
             in_hw = resize_longest_side(*image_rgb.shape[:2], S)
             return amg_records(
@@ -493,21 +501,27 @@ class AutomaticMaskGenerator:
         # one sub-generator per layer: full candidate capacity, NMS and
         # small-region cleanup deferred to THIS host loop so the reference's
         # ordering (edge filter BEFORE per-crop NMS, cleanup after the
-        # cross-crop merge) is preserved
-        layer_gens = {}
+        # cross-crop merge) is preserved. Cached on self — each sub-generator
+        # owns its jit wrappers, so rebuilding per image would recompile the
+        # fused program (~1 min at vit_h scale) for every frame.
+        if not hasattr(self, "_layer_gens"):
+            self._layer_gens = {}
 
         def gen_for(layer):
-            if layer not in layer_gens:
+            if layer not in self._layer_gens:
+                # same >=1 clamp as ops.masks.build_all_layer_point_grids, so
+                # the sub-generator's grid and grids[layer] (used for point
+                # provenance) always have identical sizes
                 pps = max(int(cfg.points_per_side / (cfg.crop_n_points_downscale_factor**layer)), 1)
                 sub_cfg = dataclasses.replace(
                     cfg, points_per_side=pps, box_nms_thresh=1.5,
                     min_mask_region_area=0, mask_capacity=pps * pps * 3,
                     crop_n_layers=0,
                 )
-                layer_gens[layer] = AutomaticMaskGenerator(
+                self._layer_gens[layer] = AutomaticMaskGenerator(
                     self.sam, self.variables, sub_cfg, self.sam_cfg
                 )
-            return layer_gens[layer]
+            return self._layer_gens[layer]
 
         masks_all, boxes_all, iou_all, stab_all = [], [], [], []
         pts_all, cbox_all = [], []

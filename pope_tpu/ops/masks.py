@@ -52,8 +52,11 @@ def build_point_grid(n_per_side: int) -> np.ndarray:
 def build_all_layer_point_grids(n_per_side: int, n_layers: int, scale_per_layer: int):
     """Per-crop-layer point grids: layer i uses n_per_side/scale^i points to
     a side (amg.py:190-198)."""
+    # clamp to >=1 point per side: the reference's int(n/scale^i) can reach 0
+    # for aggressive downscale factors, which would crash its own
+    # build_point_grid with a division by zero — a config error, not a grid
     return [
-        build_point_grid(int(n_per_side / (scale_per_layer**i)))
+        build_point_grid(max(int(n_per_side / (scale_per_layer**i)), 1))
         for i in range(n_layers + 1)
     ]
 

@@ -95,15 +95,20 @@ def resolve_env(
     preset environment is an error (same contract as the reference).
     """
     env = os.environ if environ is None else environ
-    if coordinator is not None or (num_processes is not None and num_processes > 1):
-        # hold explicit args to the same contract as the preset env: a
-        # multi-process topology needs all three values, and failing here
-        # beats an opaque error deep inside jax.distributed.initialize
-        if (num_processes or 1) > 1 and (coordinator is None or process_id is None):
+    if coordinator is not None or num_processes is not None or process_id is not None:
+        # hold explicit args to the same contract as the preset env: any
+        # multi-process intent (num_processes > 1 OR a process_id) needs all
+        # three values, and failing here beats an opaque error deep inside
+        # jax.distributed.initialize. A lone coordinator stays legal (jax
+        # auto-detects the rest from TPU metadata).
+        if ((num_processes or 1) > 1 or process_id is not None) and (
+            coordinator is None or num_processes is None or process_id is None
+        ):
             missing = [
                 name
                 for name, val in (
                     ("coordinator", coordinator),
+                    ("num_processes", num_processes),
                     ("process_id", process_id),
                 )
                 if val is None

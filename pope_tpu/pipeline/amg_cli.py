@@ -78,9 +78,6 @@ def run_amg(models, input_path: str, output_dir: str, convert_to_rle: bool = Fal
     write per-image outputs. Returns the list of processed image paths."""
     import cv2
 
-    from pope_tpu.models.sam.amg import amg_records
-    from pope_tpu.models.sam.sam import resize_longest_side
-
     if not os.path.isdir(input_path):
         targets = [input_path]
     else:
@@ -98,20 +95,9 @@ def run_amg(models, input_path: str, output_dir: str, convert_to_rle: bool = Fal
             print(f"Could not load '{t}' as an image, skipping...")
             continue
         image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
-        if models.amg.cfg.crop_n_layers == 0:
-            res = models.amg.generate(image)
-            if int(np.asarray(res.n_dropped)) > 0:
-                print(
-                    f"'{t}': {int(np.asarray(res.n_dropped))} masks over "
-                    "mask_capacity were dropped (raise AMGConfig.mask_capacity)"
-                )
-            S = models.amg.sam_cfg.encoder.img_size
-            in_hw = resize_longest_side(image.shape[0], image.shape[1], S)
-            records = amg_records(
-                res, image.shape[:2], in_hw, point_grid01=models.amg._grid01
-            )
-        else:
-            records = models.amg.generate_records(image)
+        # one records path for both the fused single-crop pipeline and the
+        # crop_n_layers sweep; capacity-overflow telemetry is logged inside
+        records = models.amg.generate_records(image)
         base = os.path.splitext(os.path.basename(t))[0]
         save_base = os.path.join(output_dir, base)
         if convert_to_rle:

@@ -69,52 +69,62 @@ def load_models(
     dinov2_checkpoint: Optional[str] = None,
     matcher_checkpoint: Optional[str] = None,
     seed: int = 0,
+    components: tuple = ("sam", "dinov2", "matcher"),
 ) -> PopeModels:
     """Build SAM + DINOv2 + matcher, loading torch checkpoints when given.
 
     Mirrors the driver bootstrap (eval_linemod_json.py:3-11 +
     pope_model_api.py:177-185) in one call.
+
+    components: which towers to actually build — skipping one leaves its
+    slots None in the returned bundle (without a checkpoint, SAM's random
+    init traces the full ViT-H forward; single-model consumers like
+    `cli export` shouldn't pay that for towers they never touch).
     """
-    _, enc_factory = SAM_CHECKPOINTS[sam_type]
-    sam_cfg = dataclasses.replace(config.sam, encoder=enc_factory())
-    sam = Sam(sam_cfg)
-    if sam_checkpoint:
-        sam_vars = convert_torch_sam_state(_load_torch_state(sam_checkpoint), depth=sam_cfg.encoder.depth)
-    else:
-        rng = jax.random.PRNGKey(seed)
-        import jax.numpy as jnp
+    sam = sam_vars = amg = None
+    if "sam" in components:
+        _, enc_factory = SAM_CHECKPOINTS[sam_type]
+        sam_cfg = dataclasses.replace(config.sam, encoder=enc_factory())
+        sam = Sam(sam_cfg)
+        if sam_checkpoint:
+            sam_vars = convert_torch_sam_state(_load_torch_state(sam_checkpoint), depth=sam_cfg.encoder.depth)
+        else:
+            rng = jax.random.PRNGKey(seed)
+            import jax.numpy as jnp
 
-        dummy = jnp.zeros((8, 8, 3))
-        sam_vars = jax.jit(
-            lambda r: sam.init(
-                r, jnp.zeros((sam_cfg.encoder.img_size, sam_cfg.encoder.img_size, 3)),
-                (sam_cfg.encoder.img_size, sam_cfg.encoder.img_size),
-                jnp.zeros((1, 2, 2)), jnp.zeros((1, 2), jnp.int32),
+            sam_vars = jax.jit(
+                lambda r: sam.init(
+                    r, jnp.zeros((sam_cfg.encoder.img_size, sam_cfg.encoder.img_size, 3)),
+                    (sam_cfg.encoder.img_size, sam_cfg.encoder.img_size),
+                    jnp.zeros((1, 2, 2)), jnp.zeros((1, 2), jnp.int32),
+                )
+            )(rng)
+        amg = AutomaticMaskGenerator(sam, sam_vars, config.amg, sam_cfg)
+
+    dinov2 = dinov2_vars = None
+    if "dinov2" in components:
+        dinov2 = DinoVisionTransformer(config.dinov2)
+        if dinov2_checkpoint:
+            dinov2_vars = convert_torch_dinov2_state(
+                _load_torch_state(dinov2_checkpoint), depth=config.dinov2.depth
             )
-        )(rng)
-        del dummy
+        else:
+            import jax.numpy as jnp
 
-    dinov2 = DinoVisionTransformer(config.dinov2)
-    if dinov2_checkpoint:
-        dinov2_vars = convert_torch_dinov2_state(
-            _load_torch_state(dinov2_checkpoint), depth=config.dinov2.depth
-        )
-    else:
-        import jax.numpy as jnp
+            dinov2_vars = jax.jit(dinov2.init)(jax.random.PRNGKey(seed + 1), jnp.zeros((1, 196, 196, 3)))
 
-        dinov2_vars = jax.jit(dinov2.init)(jax.random.PRNGKey(seed + 1), jnp.zeros((1, 196, 196, 3)))
+    matcher = matcher_vars = None
+    if "matcher" in components:
+        matcher = Matcher(config.matcher)
+        if matcher_checkpoint:
+            matcher_vars = convert_torch_matcher_state(_load_torch_state(matcher_checkpoint))
+        else:
+            import jax.numpy as jnp
 
-    matcher = Matcher(config.matcher)
-    if matcher_checkpoint:
-        matcher_vars = convert_torch_matcher_state(_load_torch_state(matcher_checkpoint))
-    else:
-        import jax.numpy as jnp
+            matcher_vars = jax.jit(matcher.init)(
+                jax.random.PRNGKey(seed + 2), jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 64, 64, 1))
+            )
 
-        matcher_vars = jax.jit(matcher.init)(
-            jax.random.PRNGKey(seed + 2), jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 64, 64, 1))
-        )
-
-    amg = AutomaticMaskGenerator(sam, sam_vars, config.amg, sam_cfg)
     return PopeModels(
         sam=sam,
         sam_variables=sam_vars,

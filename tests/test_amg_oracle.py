@@ -308,6 +308,13 @@ def test_multicrop_oracle_parity(oracle_pair, scene):
         assert 0 <= px <= 256 and 0 <= py <= 256
         assert len(r["crop_box"]) == 4
 
+    # per-layer sub-generators (and their jit caches) persist across calls —
+    # rebuilding them per image would recompile the fused program every frame
+    gens_before = dict(ours._layer_gens)
+    recs2 = ours.generate_records(scene)
+    assert ours._layer_gens == gens_before
+    assert len(recs2) == len(our_recs)
+
 
 def test_multicrop_utils_match_reference():
     """The multicrop building blocks vs the reference's own functions,

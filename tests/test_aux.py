@@ -292,7 +292,7 @@ def test_export_cli(rng, tmp_path, monkeypatch):
     assert up.shape == (1, 1, 200, 256)
 
     out2 = tmp_path / "dino.bin"
-    cli_main(["export", "--target", "dinov2", "--output", str(out2)])
+    cli_main(["export", "--target", "dinov2", "--output", str(out2), "--img-size", "56"])
     dfn = load_exported(out2.read_bytes())
     cls = dfn.call(jnp.asarray(rng.normal(0, 1, (1, 56, 56, 3)), jnp.float32))
     assert cls.shape == (1, 32)

@@ -134,3 +134,25 @@ def test_launch_runs_fn_under_global_mesh():
     assert seen["tag"] == "hello"
     assert "dp" in seen["mesh"].axis_names
     assert seen["mesh"].devices.size >= 1
+
+
+def test_resolve_partial_explicit_raises():
+    """Any explicit multi-process intent with missing pieces fails HERE with
+    a named-missing error, never deep inside jax.distributed.initialize."""
+    import pytest
+
+    from pope_tpu.parallel.launch import resolve_env
+
+    for kwargs, missing in [
+        (dict(num_processes=4, process_id=2), "coordinator"),
+        (dict(coordinator="h:1", process_id=0), "num_processes"),
+        (dict(process_id=2), "coordinator"),
+        (dict(num_processes=4), "coordinator"),
+    ]:
+        with pytest.raises(RuntimeError, match=missing):
+            resolve_env(environ={}, **kwargs)
+    # a lone coordinator stays legal (jax TPU metadata auto-detect), as does
+    # the fully-specified topology
+    assert resolve_env(coordinator="h:1", environ={}).source == "explicit"
+    env = resolve_env(coordinator="h:1", num_processes=4, process_id=2, environ={})
+    assert env.num_processes == 4 and env.process_id == 2
