@@ -17,3 +17,9 @@ from pope_tpu.parallel.launch import (
     launch,
     resolve_env,
 )
+from pope_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipeline_loss_and_grad,
+    shard_stage_params,
+    stack_stage_params,
+)
