@@ -6,9 +6,10 @@ counterpart: the reference sidesteps long sequences with linear attention
 (LoFTR) and windowing (SAM); scaling past one chip's HBM instead shards the
 token axis and rotates K/V blocks around the ICI ring while each rank keeps
 a running online-softmax over its local queries — numerically exact
-attention, peak memory O(N/S * N/S) per rank, bandwidth fully overlappable
-by XLA's latency-hiding scheduler. One scanned program; differentiable end
-to end (`lax.ppermute` is linear).
+attention (accumulators in f32 regardless of input dtype, like
+ops/flash_attention.py), peak memory O(N/S * N/S) per rank, S-1 ring
+rotations total, bandwidth overlappable by XLA's latency-hiding scheduler.
+One scanned program; differentiable end to end (`lax.ppermute` is linear).
 """
 
 from __future__ import annotations
@@ -17,33 +18,46 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from pope_tpu.parallel.compat import shard_map_compat
 
-def _ring_attn_local(q, k, v, axis: str, scale: float):
+
+def _fold_block(q, k_cur, v_cur, m, l, acc, scale):
+    """Online-softmax update of (m, l, acc) with one K/V block (the same
+    recurrence as flash attention's k-loop); f32 throughout."""
+    s = (q @ k_cur.T) * scale  # (Nq, Nk_local)
+    m_new = jnp.maximum(m, s.max(axis=-1))
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(s - m_new[:, None])
+    l = l * alpha + p.sum(axis=-1)
+    acc = acc * alpha[:, None] + p @ v_cur
+    return m_new, l, acc
+
+
+def _ring_attn_local(q, k, v, axis: str, n_ranks: int, scale: float):
     """Per-rank body: q/k/v are this rank's (Nq_local, d) / (Nk_local, d)
-    blocks; K/V blocks rotate `S` times while (m, l, acc) fold each block in
-    online-softmax form (same recurrence as flash attention's k-loop)."""
-    S = jax.lax.psum(1, axis)
-    perm = [(i, (i + 1) % S) for i in range(S)]
+    blocks. Fold the local K/V block first, then rotate the ring n_ranks-1
+    times, permuting BEFORE each fold so no dead trailing send exists."""
+    in_dtype = q.dtype
+    q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
+    perm = [(i, (i + 1) % n_ranks) for i in range(n_ranks)]
+
+    m0 = jnp.full((q.shape[0],), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((q.shape[0],), jnp.float32)
+    acc0 = jnp.zeros_like(q)
+    m, l, acc = _fold_block(q, k, v, m0, l0, acc0, scale)
 
     def body(carry, _):
         k_cur, v_cur, m, l, acc = carry
-        s = (q @ k_cur.T) * scale  # (Nq, Nk_local)
-        m_new = jnp.maximum(m, s.max(axis=-1))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new[:, None])
-        l = l * alpha + p.sum(axis=-1)
-        acc = acc * alpha[:, None] + p @ v_cur
-        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
-        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-        return (k_nxt, v_nxt, m_new, l, acc), None
+        k_cur = jax.lax.ppermute(k_cur, axis, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis, perm)
+        m, l, acc = _fold_block(q, k_cur, v_cur, m, l, acc, scale)
+        return (k_cur, v_cur, m, l, acc), None
 
-    m0 = jnp.full((q.shape[0],), -jnp.inf, q.dtype)
-    l0 = jnp.zeros((q.shape[0],), q.dtype)
-    acc0 = jnp.zeros_like(q)
-    (_, _, _, l, acc), _ = jax.lax.scan(
-        body, (k, v, m0, l0, acc0), None, length=S
-    )
-    return acc / l[:, None]
+    if n_ranks > 1:
+        (_, _, m, l, acc), _ = jax.lax.scan(
+            body, (k, v, m, l, acc), None, length=n_ranks - 1
+        )
+    return (acc / l[:, None]).astype(in_dtype)
 
 
 def ring_attention(mesh: Mesh, axis: str = "sp"):
@@ -51,10 +65,7 @@ def ring_attention(mesh: Mesh, axis: str = "sp"):
     (..., N, d), token axis sharded over `axis` -> (..., N, d) output with
     the same sharding. Leading axes (batch, heads) ride along unsharded;
     softmax scale is 1/sqrt(d)."""
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+    S = int(mesh.shape[axis])
 
     def call(q, k, v):
         d = q.shape[-1]
@@ -63,16 +74,14 @@ def ring_attention(mesh: Mesh, axis: str = "sp"):
         spec = P(*([None] * (nd - 2)), axis, None)
 
         def per_rank(ql, kl, vl):
-            fn = lambda a, b, c: _ring_attn_local(a, b, c, axis, scale)
+            fn = lambda a, b, c: _ring_attn_local(a, b, c, axis, S, scale)
             for _ in range(nd - 2):  # vmap leading batch/head axes
                 fn = jax.vmap(fn)
             return fn(ql, kl, vl)
 
-        kwargs = dict(mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
-        try:
-            sm = shard_map(per_rank, check_vma=False, **kwargs)
-        except TypeError:
-            sm = shard_map(per_rank, check_rep=False, **kwargs)
+        sm = shard_map_compat(
+            per_rank, mesh, in_specs=(spec, spec, spec), out_specs=spec
+        )
         return sm(q, k, v)
 
     return call

@@ -85,3 +85,46 @@ def test_pipeline_grads_match_serial(rng):
     # grads keep the stage-axis sharding of the parameters
     for g in jax.tree.leaves(grads_pp):
         assert g.sharding.spec[0] == "pp"
+
+
+def test_pipeline_rejects_stage_count_mismatch(rng):
+    """8 stages on a 4-rank pp axis shards cleanly (divisible) but would
+    silently run a 4-stage model; the apply must refuse instead."""
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("pp",))
+    stacked = stack_stage_params(_stages(rng, 8))
+    sharded = shard_stage_params(stacked, mesh, "pp")
+    x = jnp.asarray(rng.normal(0, 1, (4, 2, D)), jnp.float32)
+    apply = pipeline_apply(_stage, mesh, "pp")
+    with pytest.raises(ValueError, match="one stage per rank"):
+        apply(sharded, x)
+
+
+def test_pipeline_bubble_safe_for_nonzero_total_stage(rng):
+    """A stage that divides by the activation norm (undefined at exactly 0)
+    must still produce finite grads: the fill/drain bubble feeds realistic
+    placeholder data, not zeros, so the masked-out vjps stay finite."""
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("pp",))
+
+    def norm_stage(p, x):
+        x = x @ p["w"] + p["b"]
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    stacked = stack_stage_params(_stages(rng, 4))
+    sharded = shard_stage_params(stacked, mesh, "pp")
+    x = jnp.asarray(rng.normal(0, 1, (5, 3, D)), jnp.float32)
+    lg = pipeline_loss_and_grad(
+        norm_stage, lambda o, t: jnp.mean((o - t) ** 2), mesh, "pp"
+    )
+    loss, grads = lg(sharded, x, jnp.zeros_like(x))
+    assert np.isfinite(float(loss))
+    for g in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()
+    # and the values still match the serial composition
+    def serial_loss(st):
+        r = x
+        for s in range(4):
+            r = norm_stage(jax.tree.map(lambda a: a[s], st), r)
+        return jnp.mean(r ** 2)
+    np.testing.assert_allclose(float(loss), float(serial_loss(stacked)), atol=1e-6)

@@ -56,3 +56,24 @@ def test_ring_attention_grads_match_full(rng):
     )(q, k, v)
     for a, b in zip(g_ring, g_full):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_ring_attention_bf16_accumulates_f32(rng):
+    """bf16 inputs must accumulate in f32 (like ops/flash_attention.py): the
+    bf16 ring output matches the f32 full-attention reference to bf16
+    resolution, far tighter than a bf16-accumulated sum over many blocks."""
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("sp",))
+    N, d = 128, 16
+    q = jnp.asarray(rng.normal(0, 1, (N, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (N, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (N, d)), jnp.float32)
+    sharding = NamedSharding(mesh, P("sp", None))
+    attn = jax.jit(ring_attention(mesh, "sp"))
+    out16 = attn(*(jax.device_put(t.astype(jnp.bfloat16), sharding) for t in (q, k, v)))
+    assert out16.dtype == jnp.bfloat16
+    ref = _full_attention(
+        *(t.astype(jnp.bfloat16).astype(jnp.float32) for t in (q, k, v))
+    )
+    err = float(jnp.abs(out16.astype(jnp.float32) - ref).max())
+    assert err < 1.5e-2, err  # one bf16 rounding of O(1) values, not S of them
