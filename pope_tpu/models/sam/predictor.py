@@ -130,6 +130,11 @@ class SamPredictor:
         assert self.is_image_set, "call set_image first"
         parts, lparts = [], []
         if point_coords is not None:
+            if point_labels is None:
+                raise ValueError(
+                    "point_labels is required when point_coords is given "
+                    "(reference predict_torch contract, predictor.py:170-245)"
+                )
             pc = np.asarray(point_coords, np.float32)
             assert pc.ndim == 3, "predict_batched expects (B, N, 2) points"
             parts.append(pc)

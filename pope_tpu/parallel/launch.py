@@ -95,6 +95,10 @@ def resolve_env(
     preset environment is an error (same contract as the reference).
     """
     env = os.environ if environ is None else environ
+    if coordinator is None and num_processes == 1 and process_id in (None, 0):
+        # a fully single-process explicit spec is just a local run: don't
+        # spin up the distributed runtime for `--num-processes 1`
+        return DistributedEnv(None, None, None, "local")
     if coordinator is not None or num_processes is not None or process_id is not None:
         # hold explicit args to the same contract as the preset env: any
         # multi-process intent (num_processes > 1 OR a process_id) needs all

@@ -64,6 +64,38 @@ def draw_axis(img, R, t, K, length: float = 0.1):
     return out
 
 
+def draw_epipolar_line(F, img0, img1, pt0, color):
+    """Draw one point in img0 and its epipolar line l = F @ [pt0; 1] in img1
+    (draw_utils.py:105-116). Returns the two annotated images."""
+    import cv2
+
+    h1, w1 = img1.shape[:2]
+    pt0 = np.asarray(pt0, np.float32)
+    a, b, c = (F @ np.array([pt0[0], pt0[1], 1.0], np.float32)).ravel()
+    if abs(b) >= 1e-6 * max(abs(a), 1e-12):
+        p1 = (0, int(np.clip(round(-c / b), -(1 << 20), 1 << 20)))
+        p2 = (int(w1), int(np.clip(round((-a * w1 - c) / b), -(1 << 20), 1 << 20)))
+    else:  # near-vertical line x = -c/a (the reference divides by zero here)
+        x = int(np.clip(round(-c / a), -(1 << 20), 1 << 20)) if abs(a) > 1e-12 else 0
+        p1, p2 = (x, 0), (x, int(h1))
+    img0 = cv2.circle(img0, tuple(pt0.round().astype(np.int32)), 5, color, 2)
+    img1 = cv2.line(img1, p1, p2, color, 2)
+    return img0, img1
+
+
+def draw_epipolar_lines(F, img0, img1, num: int = 20, seed=None):
+    """Random sample of `num` epipolar correspondences, random colors
+    (draw_utils.py:118-130). `seed` pins the sampling for tests."""
+    rng = np.random.default_rng(seed)
+    img0, img1 = img0.copy(), img1.copy()
+    h0, w0 = img0.shape[:2]
+    for _ in range(num):
+        color = [int(c) for c in rng.integers(0, 255, 3)]
+        pt = rng.uniform(0, 1, 2) * np.array([w0, h0])
+        img0, img1 = draw_epipolar_line(F, img0, img1, pt.astype(np.int32), color)
+    return img0, img1
+
+
 def render_masks(image, masks_bool, seed: int = 0, alpha: float = 0.65):
     """Random-color overlay of boolean masks (visual_sam.py:7-18)."""
     rng = np.random.default_rng(seed)

@@ -249,6 +249,10 @@ def test_predict_batched_oracle_parity(oracle_pair, scene):
     )
     assert m2.shape == (3, 1, 256, 256) and i2.shape == (3, 1)
 
+    # points without labels is a contract violation, reported clearly
+    with pytest.raises(ValueError, match="point_labels"):
+        p.predict_batched(point_coords=pts)
+
 
 def test_multicrop_oracle_parity(oracle_pair, scene):
     """crop_n_layers=1 (5 crops: full image + 2x2 overlapping) end to end vs

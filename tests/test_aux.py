@@ -87,6 +87,32 @@ def test_plotting(tmp_path, rng):
     assert out.exists()
 
 
+def test_epipolar_line_drawing(rng):
+    """draw_epipolar_line paints the line l = F @ [pt; 1] in img1 and the
+    point in img0 (draw_utils.py:105-130)."""
+    from pope_tpu.utils.draw import draw_epipolar_line, draw_epipolar_lines
+
+    # pure x-translation: E = [t]_x, epipolar lines are horizontal rows
+    # through the matching y (identity K -> F == E)
+    F = np.array([[0, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)
+    img0 = np.zeros((64, 80, 3), np.uint8)
+    img1 = np.zeros((64, 80, 3), np.uint8)
+    pt0 = np.array([30, 20], np.float32)
+    o0, o1 = draw_epipolar_line(F, img0.copy(), img1.copy(), pt0, (0, 255, 0))
+    assert o0[:, :, 1].sum() > 0  # circle drawn around pt0
+    ys, xs = np.nonzero(o1[:, :, 1])
+    assert len(ys) > 0
+    # line for pt0=(x,20): l = (0, -1, 20) -> y = 20 everywhere
+    assert np.all(np.abs(ys - 20) <= 1), ys
+
+    # the sampled multi-line variant runs and is seed-deterministic
+    a0, a1 = draw_epipolar_lines(F, img0.copy(), img1.copy(), num=5, seed=3)
+    b0, b1 = draw_epipolar_lines(F, img0.copy(), img1.copy(), num=5, seed=3)
+    np.testing.assert_array_equal(a0, b0)
+    np.testing.assert_array_equal(a1, b1)
+    assert a1.sum() > 0
+
+
 def test_augment(rng):
     img = rng.uniform(0, 255, (48, 48, 3)).astype(np.uint8)
     assert DarkAug(0)(img).shape == img.shape

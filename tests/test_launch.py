@@ -156,3 +156,17 @@ def test_resolve_partial_explicit_raises():
     assert resolve_env(coordinator="h:1", environ={}).source == "explicit"
     env = resolve_env(coordinator="h:1", num_processes=4, process_id=2, environ={})
     assert env.num_processes == 4 and env.process_id == 2
+
+
+def test_resolve_explicit_single_process_is_local():
+    """`--num-processes 1` with no coordinator is a plain local run: it must
+    NOT initialize the distributed runtime (initialize() no-ops on 'local')."""
+    from pope_tpu.parallel.launch import resolve_env
+
+    assert resolve_env(num_processes=1, environ={}).source == "local"
+    assert resolve_env(num_processes=1, process_id=0, environ={}).source == "local"
+    # but a coordinator makes it explicit again
+    assert (
+        resolve_env(coordinator="h:1", num_processes=1, process_id=0, environ={}).source
+        == "explicit"
+    )
