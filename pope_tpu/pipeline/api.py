@@ -70,6 +70,7 @@ def load_models(
     matcher_checkpoint: Optional[str] = None,
     seed: int = 0,
     components: tuple = ("sam", "dinov2", "matcher"),
+    validate_checkpoints: bool = True,
 ) -> PopeModels:
     """Build SAM + DINOv2 + matcher, loading torch checkpoints when given.
 
@@ -80,14 +81,25 @@ def load_models(
     slots None in the returned bundle (without a checkpoint, SAM's random
     init traces the full ViT-H forward; single-model consumers like
     `cli export` shouldn't pay that for towers they never touch).
+
+    validate_checkpoints: check each torch file's key/shape inventory
+    against the released-checkpoint manifest before converting, so a
+    mismatched file fails loudly instead of silently producing garbage
+    (utils/state_manifest.py). Only applies when the model config matches
+    the released variant; pass False for custom-architecture checkpoints.
     """
+    from pope_tpu.utils.state_manifest import check_state_dict
+
     sam = sam_vars = amg = None
     if "sam" in components:
         _, enc_factory = SAM_CHECKPOINTS[sam_type]
         sam_cfg = dataclasses.replace(config.sam, encoder=enc_factory())
         sam = Sam(sam_cfg)
         if sam_checkpoint:
-            sam_vars = convert_torch_sam_state(_load_torch_state(sam_checkpoint), depth=sam_cfg.encoder.depth)
+            sd = _load_torch_state(sam_checkpoint)
+            if validate_checkpoints:
+                check_state_dict(sd, f"sam_vit_{sam_type}")
+            sam_vars = convert_torch_sam_state(sd, depth=sam_cfg.encoder.depth)
         else:
             rng = jax.random.PRNGKey(seed)
             import jax.numpy as jnp
@@ -105,9 +117,16 @@ def load_models(
     if "dinov2" in components:
         dinov2 = DinoVisionTransformer(config.dinov2)
         if dinov2_checkpoint:
-            dinov2_vars = convert_torch_dinov2_state(
-                _load_torch_state(dinov2_checkpoint), depth=config.dinov2.depth
-            )
+            sd = _load_torch_state(dinov2_checkpoint)
+            # validate only the released flat-key vits14 layout; SSL-style
+            # student/teacher- or backbone.-wrapped checkpoints go straight
+            # to normalize_dinov2_keys
+            flat = not any(
+                k in sd and isinstance(sd[k], dict) for k in ("student", "teacher")
+            ) and not any(k.startswith(("backbone.", "module.")) for k in sd)
+            if validate_checkpoints and flat and config.dinov2.depth == 12 and config.dinov2.embed_dim == 384:
+                check_state_dict(sd, "dinov2_vits14", extra_optional=("mask_token",))
+            dinov2_vars = convert_torch_dinov2_state(sd, depth=config.dinov2.depth)
         else:
             import jax.numpy as jnp
 
@@ -117,7 +136,10 @@ def load_models(
     if "matcher" in components:
         matcher = Matcher(config.matcher)
         if matcher_checkpoint:
-            matcher_vars = convert_torch_matcher_state(_load_torch_state(matcher_checkpoint))
+            sd = _load_torch_state(matcher_checkpoint)
+            if validate_checkpoints and config.matcher == MatcherConfig():
+                check_state_dict(sd, "matcher")
+            matcher_vars = convert_torch_matcher_state(sd)
         else:
             import jax.numpy as jnp
 
