@@ -32,7 +32,6 @@ def cmd_eval(args):
     from pope_tpu.eval import evaluate_dataset, results_to_xlsx
     from pope_tpu.eval.evaluate import results_table
     from pope_tpu.pipeline import load_models
-    from pope_tpu.pipeline.runner import run_pair
 
     models = load_models(
         sam_checkpoint=args.sam_checkpoint,
@@ -40,10 +39,25 @@ def cmd_eval(args):
         dinov2_checkpoint=args.dinov2_checkpoint,
         matcher_checkpoint=args.matcher_checkpoint,
     )
-    per_obj = evaluate_dataset(
-        models, args.dataset, args.data_root, args.pairs_dir, run_pair,
-        max_pairs=args.max_pairs,
-    )
+    if args.serial:
+        # the reference's per-pair loop shape (eval_linemod_json.py:51);
+        # produces identical records to the batched default
+        from pope_tpu.pipeline.runner import run_pair
+
+        per_obj = evaluate_dataset(
+            models, args.dataset, args.data_root, args.pairs_dir, run_pair,
+            max_pairs=args.max_pairs,
+        )
+    else:
+        mesh = None
+        if args.dp and args.dp > 1:
+            from pope_tpu.parallel import make_mesh
+
+            mesh = make_mesh(args.dp, tp=1)
+        per_obj = evaluate_dataset(
+            models, args.dataset, args.data_root, args.pairs_dir,
+            max_pairs=args.max_pairs, batch_size=args.batch_size, mesh=mesh,
+        )
     print(results_table(per_obj))
     if args.xlsx:
         results_to_xlsx(per_obj, args.xlsx)
@@ -279,6 +293,19 @@ def main(argv=None):
     pe.add_argument("--data-root", default="data")
     pe.add_argument("--pairs-dir", default="data/pairs")
     pe.add_argument("--max-pairs", type=int, default=None)
+    pe.add_argument(
+        "--batch-size", type=int, default=4,
+        help="pairs per device batch (the batched production path is the default)",
+    )
+    pe.add_argument(
+        "--dp", type=int, default=None,
+        help="data-parallel mesh size: shard every stage over N chips "
+        "(batch-size must be divisible by it)",
+    )
+    pe.add_argument(
+        "--serial", action="store_true",
+        help="reference-shaped per-pair loop instead of the batched driver",
+    )
     pe.add_argument("--xlsx", default=None)
     pe.add_argument("--json-out", default=None)
     _add_model_args(pe)

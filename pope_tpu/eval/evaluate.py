@@ -154,15 +154,20 @@ def evaluate_dataset(
     progress: bool = True,
     batch_size: Optional[int] = None,
     run_pairs: Optional[Callable] = None,
+    mesh=None,
 ) -> Dict[str, dict]:
     """Run the full pipeline over a dataset's pair manifest.
 
-    Serial mode (`run_pair(models, paths, spec) -> record`): the reference's
-    per-pair loop shape (eval_linemod_json.py:51). Batched mode
-    (`batch_size=B`): chunks the manifest into B-pair batches and calls
+    Batched mode (`batch_size=B`, the TPU production path and the `pope
+    eval` default): chunks the manifest into B-pair batches and calls
     `run_pairs(models, paths_list, spec) -> [records]`
-    (pipeline.runner.run_pairs by default) — the TPU production path, with
-    host IO prefetched one batch ahead of device compute.
+    (pipeline.runner.run_pairs by default), with host IO prefetched one
+    batch ahead of device compute. `mesh`: optional dp mesh — every stage
+    runs SPMD-sharded over the pair axis; a ragged final batch is padded to
+    the dp multiple and the pad records dropped.
+
+    Serial mode (`run_pair(models, paths, spec) -> record`): the reference's
+    per-pair loop shape (eval_linemod_json.py:51), kept for `--serial`.
     """
     spec = DATASETS[dataset]
     manifest = load_manifest(pairs_dir, spec)
@@ -179,17 +184,30 @@ def evaluate_dataset(
 
         from pope_tpu.pipeline.runner import prepare_batch
 
+        dp = mesh.shape.get("dp", 1) if mesh is not None else 1
+        if batch_size % dp:
+            raise ValueError(f"batch_size {batch_size} not divisible by dp={dp}")
+
         def gen_batches():
             # decode images AND start the uint8 uploads in the producer
-            # thread: disk IO + the h2d transfers overlap device compute
+            # thread: disk IO + the h2d transfers overlap device compute.
+            # max_pairs truncation happens HERE so sharded device arrays are
+            # never sliced to non-dp-divisible sizes downstream.
             chunk = []
+            produced = 0
             for paths in iter_pairs(data_root, spec, manifest):
+                if max_pairs is not None and produced >= max_pairs:
+                    break
                 chunk.append(paths)
+                produced += 1
                 if len(chunk) == batch_size:
-                    yield (chunk, *prepare_batch(chunk))
+                    yield (len(chunk), chunk, *prepare_batch(chunk, mesh=mesh))
                     chunk = []
             if chunk:
-                yield (chunk, *prepare_batch(chunk))
+                n_real = len(chunk)
+                while len(chunk) % dp:  # pad ragged tail to the dp multiple
+                    chunk = chunk + [chunk[-1]]
+                yield (n_real, chunk, *prepare_batch(chunk, mesh=mesh))
 
         # software-pipeline across batches when the default runner is used:
         # batch N+1's device programs are queued before batch N's results are
@@ -198,25 +216,24 @@ def evaluate_dataset(
             from pope_tpu.pipeline.runner import dispatch_pairs, finish_pairs
 
         pending = None
-        for chunk, hosts, dev in ThreadedLoader(gen_batches, prefetch=2):
-            if max_pairs is not None and n >= max_pairs:
-                break
-            if max_pairs is not None and len(chunk) > max_pairs - n:
-                chunk = chunk[: max_pairs - n]
-                hosts = hosts[: max_pairs - n]
-                dev = {k: v[: max_pairs - n] for k, v in dev.items()}
+        pending_real = 0
+        for n_real, chunk, hosts, dev in ThreadedLoader(gen_batches, prefetch=2):
             if pipelined:
-                nxt = dispatch_pairs(models, chunk, spec, hosts=hosts, dev=dev)
+                nxt = dispatch_pairs(models, chunk, spec, hosts=hosts, dev=dev, mesh=mesh)
                 if pending is not None:
-                    records.extend(finish_pairs(pending))
-                pending = nxt
+                    records.extend(finish_pairs(pending)[:pending_real])
+                pending, pending_real = nxt, n_real
             else:
-                records.extend(run_pairs(models, chunk, spec, hosts=hosts, dev=dev))
-            n += len(chunk)
+                # custom runners (tests) may not take a mesh kwarg
+                kw = {"mesh": mesh} if mesh is not None else {}
+                records.extend(
+                    run_pairs(models, chunk, spec, hosts=hosts, dev=dev, **kw)[:n_real]
+                )
+            n += n_real
             if progress and (n % 50 < batch_size):
                 print(f"[{dataset}] {n} pairs")
         if pending is not None:
-            records.extend(finish_pairs(pending))
+            records.extend(finish_pairs(pending)[:pending_real])
         return evaluate_pairs(records)
 
     if run_pair is None:

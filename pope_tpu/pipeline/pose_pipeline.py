@@ -113,7 +113,7 @@ class PipelineExecutor:
         self._select = jax.jit(select_best)
         self._prompt = lambda ref_in: jp(models.dinov2_variables, ref_in)
         self._prompt_raw = lambda imgs: jpr(models.dinov2_variables, imgs)
-        self._batched_run = None
+        self._batched_runs = {}
 
     def prompt_cls(self, ref_in):
         """(B, 196, 196, 3) preprocessed prompt images -> (B, D) cls tokens."""
@@ -124,13 +124,14 @@ class PipelineExecutor:
         the resize/crop/normalize runs on device inside one program."""
         return self._prompt_raw(imgs)
 
-    def batched(self):
-        """The vmapped multi-pair runner (built once; jit re-specializes per
-        batch shape). Production shape: prompt forward folded into the
-        retrieval batch (pass ref_cls_b=None)."""
-        if self._batched_run is None:
-            self._batched_run = self.build_batched(0, fold_prompt=True)
-        return self._batched_run
+    def batched(self, mesh=None):
+        """The vmapped multi-pair runner (built once per mesh; jit
+        re-specializes per batch shape). Production shape: prompt forward
+        folded into the retrieval batch (pass ref_cls_b=None). mesh: optional
+        dp mesh — the fused program runs SPMD-sharded over the pair axis."""
+        if mesh not in self._batched_runs:
+            self._batched_runs[mesh] = self.build_batched(0, mesh=mesh, fold_prompt=True)
+        return self._batched_runs[mesh]
 
     def build_batched(self, n_pairs: int = 0, mesh=None, fold_prompt: bool = False):
         """The multi-pair retrieve->match->select->solve as ONE fused jitted

@@ -179,47 +179,64 @@ def run_pair(models, paths, spec, key=None):
 
 
 
-def prepare_batch(paths_list):
+def prepare_batch(paths_list, mesh=None):
     """Host side of one batch: decode files and START the uint8 uploads.
 
     Runs in the loader's prefetch thread so disk IO and the h2d transfers
     (the tunnel's ~6 MB/s upload is the binding constraint of this
     deployment; each frame ships once, as uint8) overlap the previous
     batch's device compute.
+
+    mesh: optional dp mesh — uploads land directly in the dp-sharded layout
+    so every stage runs SPMD-partitioned over the pair axis.
     """
+    if mesh is None:
+        put = jax.device_put
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(x):
+            return jax.device_put(
+                x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
+            )
+
     hosts = [_load_pair_host(p) for p in paths_list]
     dev = {
-        "img0_u8": jax.device_put(np.stack([h[0] for h in hosts]).astype(np.uint8)),
-        "img1_u8": jax.device_put(np.stack([h[1] for h in hosts]).astype(np.uint8)),
-        "K0": jax.device_put(np.stack([h[2] for h in hosts])),
-        "K1": jax.device_put(np.stack([h[3] for h in hosts])),
-        "keys": jax.device_put(pair_keys_np(paths_list)),
+        "img0_u8": put(np.stack([h[0] for h in hosts]).astype(np.uint8)),
+        "img1_u8": put(np.stack([h[1] for h in hosts]).astype(np.uint8)),
+        "K0": put(np.stack([h[2] for h in hosts])),
+        "K1": put(np.stack([h[3] for h in hosts])),
+        "keys": put(pair_keys_np(paths_list)),
     }
     return hosts, dev
 
 
-def dispatch_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None):
+def dispatch_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None, mesh=None):
     """Queue the whole device side of one batch WITHOUT syncing: returns a
     pending handle for finish_pairs. Both stage dispatches are async,
     so a caller can keep batch N+1's programs in the device queue while it
     builds batch N's records (software pipelining across batches — the
-    device never idles on host record-building)."""
+    device never idles on host record-building).
+
+    mesh: optional dp mesh; inputs upload dp-sharded (prepare_batch) and the
+    SPMD partitioner splits AMG + the fused program across the chips."""
     if hosts is None or dev is None:
-        hosts, dev = prepare_batch(paths_list)
+        hosts, dev = prepare_batch(paths_list, mesh=mesh)
     keys = keys if keys is not None else dev["keys"]
 
     executor = get_executor(models, spec.crop_size)
 
     # AMG (encode+decode+filters+NMS+small-region cleanup) runs as ONE
     # device program whose outputs stay on device: no mask d2h, no host
-    # postprocess, no box re-upload.
+    # postprocess, no box re-upload. With dp-sharded inputs the jitted
+    # program partitions over the pair axis automatically.
     boxes_b, valid_b, dropped_b = models.amg.generate_boxes_batch(dev["img1_u8"])
 
     # prompt cls computes INSIDE the fused program (fold_prompt): the
     # preprocessed prompt rides the retrieval crop batch, so the whole
     # retrieve+match+solve side stays one dispatch with no standalone
     # B-image DINOv2 program
-    run = executor.batched()
+    run = executor.batched(mesh=mesh)
     small, matches = run(
         dev["img0_u8"], dev["img1_u8"], dev["K0"], dev["K1"],
         boxes_b, valid_b, None, keys, dropped_b, packed=True,
@@ -238,7 +255,7 @@ def finish_pairs(pending) -> List[dict]:
     ]
 
 
-def run_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None) -> List[dict]:
+def run_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None, mesh=None) -> List[dict]:
     """Batched production path over B manifest pairs (same image shapes):
 
       1 x batched SAM encode (resize fused) -> 1 x batched AMG decode
@@ -255,7 +272,7 @@ def run_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None) -> List
     device compute).
     """
     return finish_pairs(
-        dispatch_pairs(models, paths_list, spec, keys=keys, hosts=hosts, dev=dev)
+        dispatch_pairs(models, paths_list, spec, keys=keys, hosts=hosts, dev=dev, mesh=mesh)
     )
 
 

@@ -148,6 +148,49 @@ def test_evaluate_dataset_batched_matches_serial(tiny_models, mini_dataset):
             np.testing.assert_allclose(batched[obj][k], v, atol=1e-3, err_msg=f"{obj}/{k}")
 
 
+def test_cli_eval_batched_default_matches_serial(tiny_models, mini_dataset, tmp_path, monkeypatch):
+    """`pope eval` (VERDICT r3 #1: the batched dp-shardable driver IS the
+    product default) must produce metrics identical to `pope eval --serial`,
+    and the --dp CPU-mesh path must match both — including the ragged-tail
+    padding (2 pairs through dp=2)."""
+    import pope_tpu.eval.manifest as mf
+    import pope_tpu.pipeline as pl
+    from pope_tpu.cli import main as cli_main
+
+    data_root, pairs_dir = mini_dataset
+    spec = dataclasses.replace(DATASETS["linemod"], crop_size=64)
+    orig = mf.DATASETS["linemod"]
+    mf.DATASETS["linemod"] = spec
+    monkeypatch.setattr(pl, "load_models", lambda **kw: tiny_models)
+
+    def run_cli(extra, name):
+        out = tmp_path / f"{name}.json"
+        cli_main([
+            "eval", "--dataset", "linemod", "--data-root", data_root,
+            "--pairs-dir", pairs_dir, "--json-out", str(out), *extra,
+        ])
+        with open(out) as f:
+            return json.load(f)
+
+    try:
+        serial = run_cli(["--serial"], "serial")
+        batched = run_cli(["--batch-size", "2"], "batched")
+        # dp=2 over the CPU mesh; batch 2 -> one dp-sharded batch
+        dp = run_cli(["--batch-size", "2", "--dp", "2"], "dp")
+        # ragged tail: batch 4 > the 2 available pairs, dp=2 pads to 2
+        dp_ragged = run_cli(["--batch-size", "4", "--dp", "2"], "dp_ragged")
+    finally:
+        mf.DATASETS["linemod"] = orig
+
+    for name, got in [("batched", batched), ("dp", dp), ("dp_ragged", dp_ragged)]:
+        assert set(got) == set(serial), name
+        for obj in serial:
+            for k, v in serial[obj].items():
+                np.testing.assert_allclose(
+                    got[obj][k], v, atol=1e-3, err_msg=f"{name}/{obj}/{k}"
+                )
+
+
 def test_batched_pairs(tiny_models, rng):
     """vmapped multi-pair path produces the same results as per-pair calls."""
     import jax
