@@ -264,6 +264,12 @@ def cmd_test_regressor(args):
     test_main(args)
 
 
+def cmd_train_matcher(args):
+    from pope_tpu.train.matcher_driver import train_main
+
+    train_main(args)
+
+
 def cmd_train_ssl(args):
     from pope_tpu.train.ssl_driver import train_main
 
@@ -431,12 +437,51 @@ def main(argv=None):
     pr.add_argument("--num-sample", type=int, default=500)
     pr.set_defaults(fn=cmd_test_regressor)
 
+    ptm = sub.add_parser(
+        "train-matcher",
+        help="train the LoFTR matcher on multi-scene data with auc@10-"
+        "monitored checkpointing (scripts/train.py equivalent)",
+    )
+    ptm.add_argument("--data-source", default="megadepth",
+                     choices=["megadepth", "scannet"])
+    ptm.add_argument("--data-root", required=True)
+    ptm.add_argument("--train-npz", nargs="+", required=True,
+                     help="one npz scene index per training scene")
+    ptm.add_argument("--val-npz", nargs="+", required=True)
+    ptm.add_argument("--intrinsic-path", default=None,
+                     help="scannet per-scene intrinsics npz")
+    ptm.add_argument("--min-overlap-score", type=float, default=0.4)
+    ptm.add_argument("--img-resize", type=int, default=840,
+                     help="megadepth longest-side resize (IMG_RESIZE)")
+    ptm.add_argument("--depth-max-size", type=int, default=2000)
+    ptm.add_argument("--batch-size", type=int, default=4,
+                     help="global batch per step (lr scales with it)")
+    ptm.add_argument("--epochs", type=int, default=30)
+    ptm.add_argument("--n-samples-per-subset", type=int, default=200)
+    ptm.add_argument("--canonical-lr", type=float, default=6e-3)
+    ptm.add_argument("--warmup-steps", type=int, default=4800)
+    ptm.add_argument("--epi-err-thr", type=float, default=5e-4,
+                     help="5e-4 for ScanNet, 1e-4 for MegaDepth")
+    ptm.add_argument("--dp", type=int, default=1, help="data-parallel mesh size")
+    ptm.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    ptm.add_argument("--ckpt-dir", default=None)
+    ptm.add_argument("--resume", action="store_true",
+                     help="continue from <ckpt-dir>/last at the saved epoch")
+    ptm.add_argument("--history-out", default=None,
+                     help="write the per-epoch train/val metric history json")
+    ptm.add_argument("--seed", type=int, default=66)
+    ptm.set_defaults(fn=cmd_train_matcher)
+
     pssl = sub.add_parser(
         "train-ssl", help="DINOv2 self-supervised pretraining (DINO+iBOT+KoLeo)"
     )
     pssl.add_argument("--image-root", required=True)
     pssl.add_argument("--arch", default="vit_small",
-                      choices=["vit_small", "vit_base", "vit_large"])
+                      choices=["vit_small", "vit_base", "vit_large", "vit_giant"])
+    pssl.add_argument(
+        "--drop-path-rate", type=float, default=0.3,
+        help="student stochastic depth (ssl_default_config.yaml:74)",
+    )
     pssl.add_argument("--global-crop-size", type=int, default=224)
     pssl.add_argument("--local-crop-size", type=int, default=98)
     pssl.add_argument("--n-local-crops", type=int, default=8)

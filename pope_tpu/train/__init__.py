@@ -13,3 +13,9 @@ from pope_tpu.train.supervision import warp_kpts, spvs_coarse, spvs_fine
 from pope_tpu.train.loss import coarse_loss, fine_loss, matcher_loss
 from pope_tpu.train.optim import build_optimizer
 from pope_tpu.train.trainer import matcher_train_step, make_sharded_train_step
+from pope_tpu.train.matcher_driver import (
+    TopKCheckpointer,
+    TrainMatcherConfig,
+    train_matcher,
+    validate,
+)
