@@ -90,6 +90,11 @@ class DinoV2Config:
     num_register_tokens: int = 0
     interpolate_offset: float = 0.1
     dtype: str = "float32"
+    # stochastic depth for SSL training (ssl_default_config.yaml:74 uses 0.3;
+    # inference checkpoints need none) — vision_transformer.py:58-59,104-107
+    drop_path_rate: float = 0.0
+    drop_path_uniform: bool = False  # else linspace(0, rate, depth) decay
+    ffn_layer: str = "mlp"  # 'mlp' | 'swiglufused' (vit_giant2 uses swiglu)
 
 
 @dataclasses.dataclass(frozen=True)

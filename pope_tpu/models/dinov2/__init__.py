@@ -6,6 +6,12 @@ layer scale + bicubic pos-embed interpolation), dinov2/dinov2/layers/
 dinov2_utils.py (preprocessing + cls-token extraction + PCA heatmap).
 """
 
-from pope_tpu.models.dinov2.model import DinoVisionTransformer, vit_small, vit_base, vit_large
+from pope_tpu.models.dinov2.model import (
+    DinoVisionTransformer,
+    vit_small,
+    vit_base,
+    vit_large,
+    vit_giant2,
+)
 from pope_tpu.models.dinov2.convert import convert_torch_dinov2_state
 from pope_tpu.models.dinov2.preprocess import preprocess_image, cls_token_cosine

@@ -65,10 +65,16 @@ def convert_torch_dinov2_state(state_dict: Mapping[str, np.ndarray], depth: int 
         _set(params, f"{d}/ls2/gamma", sd[f"{b}.ls2.gamma"])
         _set(params, f"{d}/norm2/scale", sd[f"{b}.norm2.weight"])
         _set(params, f"{d}/norm2/bias", sd[f"{b}.norm2.bias"])
-        _set(params, f"{d}/mlp_fc1/kernel", _lin(sd[f"{b}.mlp.fc1.weight"]))
-        _set(params, f"{d}/mlp_fc1/bias", sd[f"{b}.mlp.fc1.bias"])
-        _set(params, f"{d}/mlp_fc2/kernel", _lin(sd[f"{b}.mlp.fc2.weight"]))
-        _set(params, f"{d}/mlp_fc2/bias", sd[f"{b}.mlp.fc2.bias"])
+        if f"{b}.mlp.w12.weight" in sd:  # SwiGLU-fused blocks (vit_giant2)
+            _set(params, f"{d}/mlp/w12/kernel", _lin(sd[f"{b}.mlp.w12.weight"]))
+            _set(params, f"{d}/mlp/w12/bias", sd[f"{b}.mlp.w12.bias"])
+            _set(params, f"{d}/mlp/w3/kernel", _lin(sd[f"{b}.mlp.w3.weight"]))
+            _set(params, f"{d}/mlp/w3/bias", sd[f"{b}.mlp.w3.bias"])
+        else:
+            _set(params, f"{d}/mlp_fc1/kernel", _lin(sd[f"{b}.mlp.fc1.weight"]))
+            _set(params, f"{d}/mlp_fc1/bias", sd[f"{b}.mlp.fc1.bias"])
+            _set(params, f"{d}/mlp_fc2/kernel", _lin(sd[f"{b}.mlp.fc2.weight"]))
+            _set(params, f"{d}/mlp_fc2/bias", sd[f"{b}.mlp.fc2.bias"])
     _set(params, "norm/scale", sd["norm.weight"])
     _set(params, "norm/bias", sd["norm.bias"])
     return {"params": params}

@@ -62,24 +62,72 @@ class LayerScale(nn.Module):
         return x * gamma
 
 
+class DropPath(nn.Module):
+    """Per-sample stochastic depth on a residual branch
+    (dinov2/layers/drop_path.py:15-24: Bernoulli(1-p) keep mask over the
+    batch axis, scaled by 1/keep). The reference's fixed-size-subset
+    compute-skipping variant (block.py:110-131) is a CUDA throughput trick;
+    on TPU a dynamic batch gather would shuffle dp shards across chips, so
+    the mask form — identical in distribution — is the right mapping."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(
+            self.make_rng("drop_path"), keep, (x.shape[0],) + (1,) * (x.ndim - 1)
+        )
+        return x * mask.astype(x.dtype) / keep
+
+
+class SwiGLUFFNFused(nn.Module):
+    """SwiGLU FFN with the reference's fused hidden sizing
+    (layers/swiglu_ffn.py:14-63: hidden = round8(2/3 * mlp_hidden); one
+    w12 matmul split into gate/value, silu(x1)*x2, w3 out)."""
+
+    dim: int
+    mlp_hidden: int  # int(dim * mlp_ratio) BEFORE the 2/3 fusion resize
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = (int(self.mlp_hidden * 2 / 3) + 7) // 8 * 8
+        x12 = nn.Dense(2 * hidden, use_bias=True, dtype=self.dtype, name="w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="w3")(
+            nn.silu(x1) * x2
+        )
+
+
 class Block(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     init_values: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    drop_path: float = 0.0  # this block's stochastic-depth rate
+    ffn_layer: str = "mlp"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        dp = DropPath(self.drop_path, name="drop_path")
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(self.dim, self.num_heads, self.dtype, name="attn")(h)
-        x = x + LayerScale(self.dim, self.init_values, name="ls1")(h)
+        x = x + dp(LayerScale(self.dim, self.init_values, name="ls1")(h), not train)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
-        h = nn.Dense(hidden, use_bias=True, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="mlp_fc2")(h)
-        x = x + LayerScale(self.dim, self.init_values, name="ls2")(h)
+        if self.ffn_layer == "swiglufused":
+            h = SwiGLUFFNFused(self.dim, hidden, self.dtype, name="mlp")(h)
+        elif self.ffn_layer == "mlp":
+            h = nn.Dense(hidden, use_bias=True, dtype=self.dtype, name="mlp_fc1")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="mlp_fc2")(h)
+        else:
+            raise ValueError(f"unknown ffn_layer {self.ffn_layer!r}")
+        x = x + dp(LayerScale(self.dim, self.init_values, name="ls2")(h), not train)
         return x
 
 
@@ -107,10 +155,11 @@ class DinoVisionTransformer(nn.Module):
     config: DinoV2Config = DinoV2Config()
 
     @nn.compact
-    def __call__(self, x, masks: Optional[jnp.ndarray] = None):
+    def __call__(self, x, masks: Optional[jnp.ndarray] = None, train: bool = False):
         """`masks` (B, gh*gw) bool: replace masked patch embeddings with the
         learnable mask token before pos-embed (iBOT student path,
-        vision_transformer.py:191-195)."""
+        vision_transformer.py:191-195). `train=True` enables stochastic
+        depth (needs a 'drop_path' rng when drop_path_rate > 0)."""
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         B, H, W, _ = x.shape
@@ -139,11 +188,21 @@ class DinoVisionTransformer(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, cfg.embed_dim)).astype(x.dtype), x], axis=1)
         x = x + _interpolate_pos_embed(pos_embed, (gh, gw), p).astype(x.dtype)
 
+        # per-block stochastic-depth rates: uniform, or the linspace decay
+        # rule (vision_transformer.py:104-107)
+        if cfg.drop_path_uniform:
+            dpr = [cfg.drop_path_rate] * cfg.depth
+        else:
+            dpr = [
+                cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+                for i in range(cfg.depth)
+            ]
         for i in range(cfg.depth):
             x = Block(
                 cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
-                dtype, name=f"block_{i}",
-            )(x)
+                dtype, drop_path=dpr[i], ffn_layer=cfg.ffn_layer,
+                name=f"block_{i}",
+            )(x, train=train)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         return {
@@ -162,3 +221,13 @@ def vit_base(**kw):
 
 def vit_large(**kw):
     return DinoVisionTransformer(DinoV2Config(embed_dim=1024, depth=24, num_heads=16, **kw))
+
+
+def vit_giant2(**kw):
+    """embed 1536 / 40 blocks / 24 heads (d=64/head), SwiGLU-fused FFN
+    (vision_transformer.py:345-361 + the swiglufused ffn_layer its SSL
+    configs select)."""
+    kw.setdefault("ffn_layer", "swiglufused")
+    return DinoVisionTransformer(
+        DinoV2Config(embed_dim=1536, depth=40, num_heads=24, **kw)
+    )

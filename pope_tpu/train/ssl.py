@@ -412,20 +412,32 @@ class SSLMetaArch:
             )
         return dino_probs, ibot_probs, new_centers
 
-    def _student_losses(self, student, batch, dino_probs, ibot_probs, masks):
+    def _student_losses(self, student, batch, dino_probs, ibot_probs, masks,
+                        rng=None):
         cfg = self.cfg
         n_local = cfg.n_local_crops
         n_global_terms = 2  # (2-1)*2
         n_local_terms = max(n_local * 2, 1)
 
+        # stochastic depth (ssl_default_config.yaml:74 drop_path_rate) is a
+        # student-only training regularizer; the teacher forward stays clean
+        use_dp = self.backbone_cfg.drop_path_rate > 0 and rng is not None
+        def dp_kw(i):
+            if not use_dp:
+                return {}
+            return dict(train=True, rngs={"drop_path": jax.random.fold_in(rng, i)})
+
         g_out = self.backbone.apply(
-            {"params": student["backbone"]}, batch["global_crops"], masks=masks
+            {"params": student["backbone"]}, batch["global_crops"], masks=masks,
+            **dp_kw(0),
         )
         losses = {}
         total = 0.0
 
         if n_local > 0:
-            l_out = self.backbone.apply({"params": student["backbone"]}, batch["local_crops"])
+            l_out = self.backbone.apply(
+                {"params": student["backbone"]}, batch["local_crops"], **dp_kw(1)
+            )
             local_logits = self.dino_head.apply(
                 {"params": student["dino_head"]}, l_out["x_norm_clstoken"]
             )  # (n_local*B, K)
@@ -504,8 +516,14 @@ class SSLMetaArch:
         dino_probs = jax.lax.stop_gradient(dino_probs)
         ibot_probs = jax.lax.stop_gradient(ibot_probs)
 
+        # deterministic per-step noise stream (resume-safe: derived from the
+        # step counter, not host state)
+        dp_rng = jax.random.fold_in(jax.random.PRNGKey(1717), state.step)
+
         def loss_fn(student):
-            return self._student_losses(student, batch, dino_probs, ibot_probs, masks)
+            return self._student_losses(
+                student, batch, dino_probs, ibot_probs, masks, rng=dp_rng
+            )
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.student)
 

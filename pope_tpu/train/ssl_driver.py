@@ -205,8 +205,16 @@ def train_main(args):
         "vit_small": dict(embed_dim=384, depth=12, num_heads=6),
         "vit_base": dict(embed_dim=768, depth=12, num_heads=12),
         "vit_large": dict(embed_dim=1024, depth=24, num_heads=16),
+        # vit_giant2: SwiGLU-fused FFN (vision_transformer.py:345-361)
+        "vit_giant": dict(
+            embed_dim=1536, depth=40, num_heads=24, ffn_layer="swiglufused"
+        ),
     }
-    bcfg = DinoV2Config(patch_size=14, **arch_sizes[args.arch])
+    bcfg = DinoV2Config(
+        patch_size=14,
+        drop_path_rate=getattr(args, "drop_path_rate", 0.0),
+        **arch_sizes[args.arch],
+    )
     cfg = SSLConfig(
         global_crop_size=args.global_crop_size,
         local_crop_size=args.local_crop_size,
