@@ -8,13 +8,15 @@ image decode, manifest iteration and metric records.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: no reference throughput exists (BASELINE.md — the repo publishes
-none). The reference pipeline measured on this machine's CPU runs at about
-0.004 pairs/s (SAM ViT-H alone >3 min/image on CPU); the practical baseline
-used here is the reference's *structural* budget on an A100 estimated from
-its serial per-mask DINOv2 loop + 3 matcher calls + cv2 RANSAC at ~1.0
-pair/s — vs_baseline reports against that 1.0 pairs/s A100 estimate and
-should be re-based when a real A100 measurement of the reference lands.
+Baseline: no reference throughput exists (the repo publishes none; on this
+machine's CPU the reference runs ~0.004 pairs/s). vs_baseline reports
+against a STRUCTURAL A100 estimate of the reference, derived in
+BASELINE.md "Structural A100 throughput estimate": 18.9 model-TF/pair at
+its config (square encode, 1024 full-res decodes, serial per-mask DINOv2,
+3 matcher calls) / (TF32 peak x 25% batch-1 util) + its measured-in-public
+AMG host postproc => realistic 0.25-0.4 pairs/s; the 1.0 used here is a
+deliberately GENEROUS round number (understates our speedup). The JSON
+labels this with vs_baseline_kind. Re-base on a real A100 measurement.
 """
 
 import json
@@ -248,6 +250,10 @@ def main():
                 "value": round(pairs_per_s, 3),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_s / A100_EST_BASELINE_PAIRS_PER_S, 2),
+                # the baseline is a STRUCTURAL estimate (BASELINE.md), not a
+                # measurement — and a generous one (realistic: 0.25-0.4 pairs/s)
+                "vs_baseline_kind": "a100_structural_estimate_generous",
+                "baseline_pairs_per_s": A100_EST_BASELINE_PAIRS_PER_S,
                 # falsifiability axis (verdict r2): analytical model-FLOP
                 # budget per pair from the shipped configs + implied MFU
                 "model_tflops_per_pair": round(budget["total_per_pair"] / 1e12, 3),
