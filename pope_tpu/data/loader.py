@@ -19,22 +19,40 @@ import jax
 
 class ThreadedLoader:
     """Pulls items from a (possibly slow, IO-bound) iterator on worker
-    threads, preserving order."""
+    threads, preserving order.
 
-    def __init__(self, make_iter: Callable[[], Iterable], num_workers: int = 2, prefetch: int = 4):
+    Without `fn`, one producer thread drains the source iterator into a
+    bounded queue (the source itself is inherently serial). With `fn`,
+    `num_workers` threads pull items from the source under a lock and apply
+    `fn` CONCURRENTLY — results are re-assembled in source order. This is
+    the B>4 fix (ROADMAP #5): image decode + the h2d uploads of batch n+1
+    and n+2 proceed in parallel instead of one batch at a time through the
+    single producer, so upload of the next batch fully overlaps compute of
+    the current one even when per-batch bytes double."""
+
+    def __init__(self, make_iter: Callable[[], Iterable], num_workers: int = 2,
+                 prefetch: int = 4, fn: Optional[Callable] = None):
         self._make_iter = make_iter
         self._prefetch = prefetch
-        self._num_workers = num_workers
+        self._num_workers = max(1, num_workers)
+        self._fn = fn
 
     def __iter__(self) -> Iterator:
+        if self._fn is None or self._num_workers == 1:
+            yield from self._single_producer()
+        else:
+            yield from self._worker_pool()
+
+    def _single_producer(self):
         src = iter(self._make_iter())
+        fn = self._fn
         q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
         END = object()
 
         def producer():
             try:
                 for item in src:
-                    q.put(item)
+                    q.put(item if fn is None else fn(item))
             finally:
                 q.put(END)
 
@@ -45,6 +63,69 @@ class ThreadedLoader:
             if item is END:
                 break
             yield item
+
+    def _worker_pool(self):
+        src = iter(self._make_iter())
+        src_lock = threading.Lock()
+        results: dict = {}
+        cv = threading.Condition()
+        # in-flight budget: results waiting + being computed never exceed
+        # prefetch + workers, bounding host/device memory
+        budget = threading.Semaphore(self._prefetch + self._num_workers)
+        state = {"next_seq": 0, "n_exited": 0}
+
+        class _Raise:
+            def __init__(self, exc):
+                self.exc = exc
+
+        def worker():
+            while True:
+                budget.acquire()
+                with src_lock:
+                    try:
+                        item = next(src)
+                        seq = state["next_seq"]
+                        state["next_seq"] += 1
+                    except BaseException as e:  # StopIteration or source error
+                        budget.release()
+                        with cv:
+                            if not isinstance(e, StopIteration):
+                                state["error"] = e
+                            state["n_exited"] += 1
+                            cv.notify_all()
+                        return
+                try:
+                    out = self._fn(item)
+                except BaseException as e:  # surfaced at the consumer, in order
+                    out = _Raise(e)
+                with cv:
+                    results[seq] = out
+                    cv.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self._num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        nxt = 0
+        while True:
+            with cv:
+                while nxt not in results:
+                    # every exited worker has already deposited its last
+                    # result, so all-exited + result absent => stream done
+                    if state["n_exited"] == len(threads):
+                        if "error" in state:
+                            raise state["error"]
+                        return
+                    cv.wait(timeout=0.1)
+                out = results.pop(nxt)
+            nxt += 1
+            budget.release()
+            if isinstance(out, _Raise):
+                raise out.exc
+            yield out
 
 
 class DevicePrefetcher:

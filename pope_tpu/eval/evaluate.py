@@ -189,10 +189,12 @@ def evaluate_dataset(
             raise ValueError(f"batch_size {batch_size} not divisible by dp={dp}")
 
         def gen_batches():
-            # decode images AND start the uint8 uploads in the producer
-            # thread: disk IO + the h2d transfers overlap device compute.
-            # max_pairs truncation happens HERE so sharded device arrays are
-            # never sliced to non-dp-divisible sizes downstream.
+            # lightweight path chunks only; decode + upload happen in the
+            # loader's WORKER POOL (fn below) so batches n+1 and n+2 decode
+            # and ship concurrently — with one producer, doubling per-batch
+            # upload bytes (B=8) stalled the pipeline behind the serial h2d
+            # stream. max_pairs truncation happens HERE so sharded device
+            # arrays are never sliced to non-dp-divisible sizes downstream.
             chunk = []
             produced = 0
             for paths in iter_pairs(data_root, spec, manifest):
@@ -201,13 +203,17 @@ def evaluate_dataset(
                 chunk.append(paths)
                 produced += 1
                 if len(chunk) == batch_size:
-                    yield (len(chunk), chunk, *prepare_batch(chunk, mesh=mesh))
+                    yield (len(chunk), chunk)
                     chunk = []
             if chunk:
                 n_real = len(chunk)
                 while len(chunk) % dp:  # pad ragged tail to the dp multiple
                     chunk = chunk + [chunk[-1]]
-                yield (n_real, chunk, *prepare_batch(chunk, mesh=mesh))
+                yield (n_real, chunk)
+
+        def prep(item):
+            n_real, chunk = item
+            return (n_real, chunk, *prepare_batch(chunk, mesh=mesh))
 
         # software-pipeline across batches when the default runner is used:
         # batch N+1's device programs are queued before batch N's results are
@@ -217,7 +223,9 @@ def evaluate_dataset(
 
         pending = None
         pending_real = 0
-        for n_real, chunk, hosts, dev in ThreadedLoader(gen_batches, prefetch=2):
+        for n_real, chunk, hosts, dev in ThreadedLoader(
+            gen_batches, num_workers=3, prefetch=2, fn=prep
+        ):
             if pipelined:
                 nxt = dispatch_pairs(models, chunk, spec, hosts=hosts, dev=dev, mesh=mesh)
                 if pending is not None:

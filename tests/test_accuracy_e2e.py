@@ -258,10 +258,15 @@ def _write_eval_dataset(root, points, colors, rng, n_pairs=10):
     return root, pairs_dir
 
 
-def _make_candidate_runner(points):
+def _make_candidate_runner(points, box_shrink_px: float = 0.0):
     """runner.run_pairs twin that injects candidate boxes (GT bbox + two
     distractors) in place of the AMG stage; everything downstream is the
-    production fused program (see module docstring for why)."""
+    production fused program (see module docstring for why).
+
+    box_shrink_px: shrink each GT box edge inward by this many pixels —
+    models the shipped eval_decode_subsample=4 box quantization (provably
+    <=3 full-res px inward at VGA; scaled to this harness's frame width by
+    the joint-stack gate below)."""
     from pope_tpu.pipeline.runner import _load_pair_host, _record, _unpack_record, pair_keys_np
 
     def run_pairs(models, paths_list, spec, hosts=None, dev=None, keys=None):
@@ -275,6 +280,8 @@ def _make_candidate_runner(points):
         for h in hosts:
             _, _, _, K1, _, pose1 = h
             gt = _project_bbox(points, pose1[:3], K1)
+            s = box_shrink_px
+            gt = np.array([gt[0] + s, gt[1] + s, gt[2] - s, gt[3] - s], np.float32)
             gt_xywh = [gt[0], gt[1], gt[2] - gt[0], gt[3] - gt[1]]
             cand.append([gt_xywh, [2.0, 2.0, 40.0, 40.0], [100.0, 60.0, 50.0, 50.0]])
             valid.append([True, True, True])
@@ -299,16 +306,33 @@ def _make_candidate_runner(points):
     return run_pairs
 
 
-def test_trained_pipeline_accuracy(tmp_path):
+@pytest.fixture(scope="module")
+def trained_setup(tmp_path_factory):
+    """One matcher training run + one held-out eval dataset shared by every
+    accuracy gate in this module (training dominates the wall time)."""
+    rng = np.random.default_rng(20231223)
+    points, colors = _object_cloud(rng)
+    matcher, m_vars, mcfg = _train_matcher(points, colors, rng)
+    root = str(tmp_path_factory.mktemp("acc_eval"))
+    data_root, pairs_dir = _write_eval_dataset(root, points, colors, rng)
+    return {
+        "points": points, "colors": colors,
+        "matcher": matcher, "m_vars": m_vars, "mcfg": mcfg,
+        "data_root": data_root, "pairs_dir": pairs_dir,
+    }
+
+
+def test_trained_pipeline_accuracy(trained_setup):
     import pope_tpu.eval.manifest as mf
     from pope_tpu.config import AMGConfig, DinoV2Config, PipelineConfig
     from pope_tpu.eval import DATASETS, evaluate_dataset
     from pope_tpu.models.dinov2 import DinoVisionTransformer
     from pope_tpu.pipeline.api import PopeModels
 
-    rng = np.random.default_rng(20231223)
-    points, colors = _object_cloud(rng)
-    matcher, m_vars, mcfg = _train_matcher(points, colors, rng)
+    points = trained_setup["points"]
+    matcher, m_vars, mcfg = (
+        trained_setup["matcher"], trained_setup["m_vars"], trained_setup["mcfg"]
+    )
 
     dcfg = DinoV2Config(img_size=196, embed_dim=64, depth=2, num_heads=2)
     dinov2 = DinoVisionTransformer(dcfg)
@@ -324,7 +348,7 @@ def test_trained_pipeline_accuracy(tmp_path):
         matcher=matcher, matcher_variables=m_vars, amg=None, config=cfg,
     )
 
-    data_root, pairs_dir = _write_eval_dataset(str(tmp_path), points, colors, rng)
+    data_root, pairs_dir = trained_setup["data_root"], trained_setup["pairs_dir"]
     spec = dataclasses.replace(DATASETS["linemod"], crop_size=CROP)
     orig = mf.DATASETS["linemod"]
     mf.DATASETS["linemod"] = spec
@@ -375,3 +399,76 @@ def test_trained_pipeline_accuracy(tmp_path):
     assert agg16["R:medianErr"] < 12.0, (agg, agg16)
     assert agg16["AP50"] > 0.8, agg16
     assert agg16["R:medianErr"] < agg["R:medianErr"] + 2.0, (agg, agg16)
+
+
+def test_joint_shipped_vs_exact_stack(trained_setup):
+    """JOINT approximation gate (VERDICT r3 #5): the full SHIPPED stack —
+    bf16 retrieval tower + bf16 matcher + 3-round RANSAC + subsampled-decode
+    box quantization — against the exact configuration (f32 towers, 6-round
+    RANSAC, unquantized boxes) on the SAME eval records, pinning the
+    COMBINED metric delta so no future flag flip silently compounds what the
+    per-flag gates validated separately.
+
+    rect_encode + eval_decode_subsample live inside AMG (oracle-tested in
+    test_amg_rect/test_amg_oracle — rect is candidate-exact, subsample's only
+    eval-path effect is the box quantization); their end-to-end contribution
+    enters here as the documented worst-case box shrink, scaled from <=3px
+    at VGA width to this harness's frame and rounded UP (3 * 128/640 = 0.6
+    -> 1.0 px, conservative)."""
+    import pope_tpu.eval.manifest as mf
+    from pope_tpu.config import AMGConfig, DinoV2Config, PipelineConfig
+    from pope_tpu.eval import DATASETS, evaluate_dataset
+    from pope_tpu.models.dinov2 import DinoVisionTransformer
+    from pope_tpu.models.matcher import Matcher
+    from pope_tpu.pipeline.api import PopeModels
+
+    points = trained_setup["points"]
+    matcher, m_vars, mcfg = (
+        trained_setup["matcher"], trained_setup["m_vars"], trained_setup["mcfg"]
+    )
+    data_root, pairs_dir = trained_setup["data_root"], trained_setup["pairs_dir"]
+
+    def build(dtype, rounds):
+        dcfg = DinoV2Config(img_size=196, embed_dim=64, depth=2, num_heads=2,
+                            dtype=dtype)
+        dinov2 = DinoVisionTransformer(dcfg)
+        d_vars = dinov2.init(
+            jax.random.PRNGKey(0), np.zeros((1, 196, 196, 3), np.float32)
+        )
+        m = dataclasses.replace(mcfg, dtype=dtype)
+        cfg = PipelineConfig(matcher=m, dinov2=dcfg, amg=AMGConfig(),
+                             ransac_thresh_px=1.0, ransac_rounds=rounds)
+        return PopeModels(
+            sam=None, sam_variables=None, dinov2=dinov2, dinov2_variables=d_vars,
+            matcher=Matcher(m), matcher_variables=m_vars, amg=None, config=cfg,
+        )
+
+    spec = dataclasses.replace(DATASETS["linemod"], crop_size=CROP)
+    orig = mf.DATASETS["linemod"]
+
+    def run(models, shrink):
+        mf.DATASETS["linemod"] = spec
+        try:
+            per_obj = evaluate_dataset(
+                models, "linemod", data_root, pairs_dir, progress=False,
+                batch_size=2, run_pairs=_make_candidate_runner(points, shrink),
+            )
+        finally:
+            mf.DATASETS["linemod"] = orig
+        return per_obj[list(per_obj)[0]]
+
+    exact = run(build("float32", rounds=6), shrink=0.0)
+    shipped = run(build("bfloat16", rounds=3), shrink=1.0)
+
+    # joint gate: every approximation stacked must stay within the summed
+    # individual allowances (bf16 matcher ~2deg + solver/boxes ~1deg). No
+    # t-direction gate, same as the f32/bf16 gates above: at this harness's
+    # ~1.5cm lateral baselines the translation DIRECTION flips tens of
+    # degrees from mm-scale estimate noise (the reference's own LINEMOD
+    # t:medianErr is 38.9deg, BASELINE.md) — a 10-pair median of it
+    # measures noise, not the approximation stack.
+    assert shipped["R:medianErr"] < exact["R:medianErr"] + 3.0, (exact, shipped)
+    assert shipped["AP50"] >= exact["AP50"] - 0.05, (exact, shipped)
+    assert shipped["R:ACC15"] >= exact["R:ACC15"] - 0.2, (exact, shipped)
+    # and the absolute bar the f32 gate enforces, plus the joint allowance
+    assert shipped["R:medianErr"] < 13.0, (exact, shipped)

@@ -37,6 +37,47 @@ def test_threaded_loader_and_prefetcher():
     np.testing.assert_array_equal(np.asarray(out[3]["x"]), batches[3]["x"])
 
 
+def test_threaded_loader_worker_pool():
+    """fn + num_workers>1: items map CONCURRENTLY but yield in source order;
+    worker exceptions surface at the consumer in order; the in-flight budget
+    bounds memory (ROADMAP #5 B=8 host-pipeline fix)."""
+    import threading
+    import time
+
+    items = list(range(30))
+    seen_parallel = []
+    active = [0]
+    lock = threading.Lock()
+
+    def slow_double(x):
+        with lock:
+            active[0] += 1
+            seen_parallel.append(active[0])
+        time.sleep(0.01)
+        with lock:
+            active[0] -= 1
+        return x * 2
+
+    out = list(ThreadedLoader(lambda: iter(items), num_workers=3, fn=slow_double))
+    assert out == [x * 2 for x in items]  # order preserved
+    assert max(seen_parallel) >= 2, "no concurrent fn execution observed"
+
+    # error propagation: a raising fn must not deadlock the consumer
+    def boom(x):
+        if x == 5:
+            raise ValueError("boom")
+        return x
+
+    it = iter(ThreadedLoader(lambda: iter(range(10)), num_workers=3, fn=boom))
+    got = [next(it) for _ in range(5)]
+    assert got == [0, 1, 2, 3, 4]
+    try:
+        next(it)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_mask_polygon_roundtrip():
     mask = np.zeros((40, 50), np.uint8)
     mask[10:30, 15:35] = 1
