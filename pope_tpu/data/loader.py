@@ -21,14 +21,15 @@ class ThreadedLoader:
     """Pulls items from a (possibly slow, IO-bound) iterator on worker
     threads, preserving order.
 
-    Without `fn`, one producer thread drains the source iterator into a
-    bounded queue (the source itself is inherently serial). With `fn`,
-    `num_workers` threads pull items from the source under a lock and apply
-    `fn` CONCURRENTLY — results are re-assembled in source order. This is
-    the B>4 fix (ROADMAP #5): image decode + the h2d uploads of batch n+1
-    and n+2 proceed in parallel instead of one batch at a time through the
-    single producer, so upload of the next batch fully overlaps compute of
-    the current one even when per-batch bytes double."""
+    Without `fn` (or with num_workers=1), one producer thread drains the
+    source iterator into a bounded queue, applying `fn` inline. With `fn`
+    and num_workers>1, worker threads pull items from the source under a
+    lock and apply `fn` CONCURRENTLY — results are re-assembled in source
+    order. The pool exists for upload-bandwidth-bound deployments (parallel
+    h2d streams measured +30-60% raw bandwidth through the tunnel); on
+    this box the eval driver measured FASTER single-producer (concurrent
+    device_put RPCs contend with program dispatch — ROADMAP r4 A/B), so
+    callers default to num_workers=1."""
 
     def __init__(self, make_iter: Callable[[], Iterable], num_workers: int = 2,
                  prefetch: int = 4, fn: Optional[Callable] = None):
@@ -49,10 +50,16 @@ class ThreadedLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
         END = object()
 
+        class _Raise:
+            def __init__(self, exc):
+                self.exc = exc
+
         def producer():
             try:
                 for item in src:
                     q.put(item if fn is None else fn(item))
+            except BaseException as e:  # surfaced at the consumer, not lost
+                q.put(_Raise(e))
             finally:
                 q.put(END)
 
@@ -62,6 +69,8 @@ class ThreadedLoader:
             item = q.get()
             if item is END:
                 break
+            if isinstance(item, _Raise):
+                raise item.exc
             yield item
 
     def _worker_pool(self):

@@ -190,11 +190,16 @@ def evaluate_dataset(
 
         def gen_batches():
             # lightweight path chunks only; decode + upload happen in the
-            # loader's WORKER POOL (fn below) so batches n+1 and n+2 decode
-            # and ship concurrently — with one producer, doubling per-batch
-            # upload bytes (B=8) stalled the pipeline behind the serial h2d
-            # stream. max_pairs truncation happens HERE so sharded device
-            # arrays are never sliced to non-dp-divisible sizes downstream.
+            # loader thread(s) via `prep` below so disk IO and h2d transfers
+            # overlap device compute. POPE_LOADER_WORKERS>1 maps `prep` over
+            # a worker pool (parallel upload streams) — measured SLOWER on
+            # this box (workers=3 vs 1: B=4 6.54 vs 7.09, B=8 5.77 vs 6.71
+            # pairs/s; concurrent device_put RPCs contend with the main
+            # thread's dispatch through the tunnel), so the default is 1;
+            # the knob exists for upload-bandwidth-bound deployments, where
+            # 2 parallel streams measured +30-60% raw h2d (ROADMAP r4).
+            # max_pairs truncation happens HERE so sharded device arrays are
+            # never sliced to non-dp-divisible sizes downstream.
             chunk = []
             produced = 0
             for paths in iter_pairs(data_root, spec, manifest):
@@ -223,8 +228,9 @@ def evaluate_dataset(
 
         pending = None
         pending_real = 0
+        n_workers = int(os.environ.get("POPE_LOADER_WORKERS", "1"))
         for n_real, chunk, hosts, dev in ThreadedLoader(
-            gen_batches, num_workers=3, prefetch=2, fn=prep
+            gen_batches, num_workers=n_workers, prefetch=2, fn=prep
         ):
             if pipelined:
                 nxt = dispatch_pairs(models, chunk, spec, hosts=hosts, dev=dev, mesh=mesh)

@@ -15,6 +15,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 ZOO = {
+    # tiny config for tests (the vim branch has the same convention)
+    "test": ((1, 1, 2, 1), (16, 32, 64, 128)),
     "atto": ((2, 2, 6, 2), (40, 80, 160, 320)),
     "femto": ((2, 2, 6, 2), (48, 96, 192, 384)),
     "pico": ((2, 2, 6, 2), (64, 128, 256, 512)),

@@ -77,6 +77,19 @@ def test_threaded_loader_worker_pool():
     except ValueError:
         pass
 
+    # the single-producer path (num_workers=1, the shipped eval default)
+    # must ALSO surface fn/source exceptions instead of silently truncating
+    # the stream — a swallowed decode/upload error would make evaluate_dataset
+    # report fewer pairs than the manifest with no diagnostic.
+    it1 = iter(ThreadedLoader(lambda: iter(range(10)), num_workers=1, fn=boom))
+    got1 = [next(it1) for _ in range(5)]
+    assert got1 == [0, 1, 2, 3, 4]
+    try:
+        next(it1)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
 
 def test_mask_polygon_roundtrip():
     mask = np.zeros((40, 50), np.uint8)
