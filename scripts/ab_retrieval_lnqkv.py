@@ -46,7 +46,7 @@ def folded(x, g, beta, W, b):
     return h @ Wf + bf
 
 
-def slope(fn, args, reps=8, trials=6):
+def slope(fn, args, reps=24, trials=8):
     def chain(n):
         def f(x):
             y = x
@@ -59,12 +59,11 @@ def slope(fn, args, reps=8, trials=6):
 
     f1, fN = chain(1), chain(reps)
     float(f1(args[0])); float(fN(args[0]))
-    best = []
+    t1s, tNs = [], []
     for _ in range(trials):
-        t0 = time.time(); float(f1(args[0])); t1 = time.time() - t0
-        t0 = time.time(); float(fN(args[0])); tN = time.time() - t0
-        best.append((tN - t1) / (reps - 1))
-    return min(best) * 1e3
+        t0 = time.time(); float(f1(args[0])); t1s.append(time.time() - t0)
+        t0 = time.time(); float(fN(args[0])); tNs.append(time.time() - t0)
+    return (min(tNs) - min(t1s)) / (reps - 1) * 1e3
 
 
 def main():
