@@ -95,6 +95,11 @@ class DinoV2Config:
     drop_path_rate: float = 0.0
     drop_path_uniform: bool = False  # else linspace(0, rate, depth) decay
     ffn_layer: str = "mlp"  # 'mlp' | 'swiglufused' (vit_giant2 uses swiglu)
+    # 'erf' is the reference-exact gelu; 'tanh' is the cheaper VPU lowering
+    # (see SamEncoderConfig.gelu). Default stays erf so SSL training and the
+    # oracle-parity tests match the reference bit-for-bit in f32; the eval
+    # pipeline's retrieval tower opts into tanh next to its bf16 dtype.
+    gelu: str = "erf"  # 'erf' | 'tanh'
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,6 +131,15 @@ class SamEncoderConfig:
     # checkpoints exist in this container to validate int8 end-task
     # accuracy against); error bounds are pinned in test_quant.py.
     quantize: str = "none"
+    # gelu flavor for the MLP halves: the reference uses exact erf gelu
+    # (image_encoder.py's nn.GELU default), which XLA expands to a long
+    # rational-polynomial chain on the VPU; 'tanh' lowers to a cheaper
+    # pattern, measured 3.05 -> 2.30 ms per MLP at the rect vit_h shapes
+    # (scripts/ab_gelu.py; ~24 ms/batch over 32 blocks). The erf-tanh
+    # difference (max ~3e-4 in f32) is an order below the bf16 activation
+    # rounding this path already carries, so 'tanh' ships as the default;
+    # the oracle-parity tests pin gelu='erf' alongside dtype='float32'.
+    gelu: str = "tanh"  # 'erf' | 'tanh'
 
     @classmethod
     def vit_b(cls):
@@ -232,7 +246,7 @@ class PipelineConfig:
     # margins top-3 retrieval rides on. Oracle parity tests pin float32 via
     # their own DinoV2Config. Set dtype="float32" here for bit-conservative
     # scoring.
-    dinov2: DinoV2Config = DinoV2Config(dtype="bfloat16")
+    dinov2: DinoV2Config = DinoV2Config(dtype="bfloat16", gelu="tanh")
     sam: SamConfig = SamConfig()
     amg: AMGConfig = AMGConfig()
     top_k: int = 3  # retrieval candidates (eval_linemod_json.py:71)

@@ -110,6 +110,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     drop_path: float = 0.0  # this block's stochastic-depth rate
     ffn_layer: str = "mlp"
+    gelu: str = "erf"  # DinoV2Config.gelu; 'erf' = reference-exact
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -123,7 +124,7 @@ class Block(nn.Module):
             h = SwiGLUFFNFused(self.dim, hidden, self.dtype, name="mlp")(h)
         elif self.ffn_layer == "mlp":
             h = nn.Dense(hidden, use_bias=True, dtype=self.dtype, name="mlp_fc1")(h)
-            h = nn.gelu(h, approximate=False)
+            h = nn.gelu(h, approximate=(self.gelu == "tanh"))
             h = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="mlp_fc2")(h)
         else:
             raise ValueError(f"unknown ffn_layer {self.ffn_layer!r}")
@@ -200,7 +201,7 @@ class DinoVisionTransformer(nn.Module):
         for i in range(cfg.depth):
             x = Block(
                 cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
-                dtype, drop_path=dpr[i], ffn_layer=cfg.ffn_layer,
+                dtype, drop_path=dpr[i], ffn_layer=cfg.ffn_layer, gelu=cfg.gelu,
                 name=f"block_{i}",
             )(x, train=train)
 

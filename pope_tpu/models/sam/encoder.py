@@ -119,6 +119,7 @@ class EncoderBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_flash: bool = False
     quantize: str = "none"
+    gelu: str = "erf"  # config.py SamEncoderConfig.gelu; 'erf' = reference-exact
 
     @nn.compact
     def __call__(self, x):
@@ -179,7 +180,7 @@ class EncoderBlock(nn.Module):
         x = shortcut + attn_sp
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_lin1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=(self.gelu == "tanh"))
         h = Dense(C, dtype=self.dtype, name="mlp_lin2")(h)
         return x + h
 
@@ -223,6 +224,7 @@ class ImageEncoderViT(nn.Module):
                 dtype=dtype,
                 use_flash=cfg.use_flash_attention,
                 quantize=cfg.quantize,
+                gelu=cfg.gelu,
                 name=f"block_{i}",
             )(x)
 

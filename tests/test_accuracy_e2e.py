@@ -429,8 +429,11 @@ def test_joint_shipped_vs_exact_stack(trained_setup):
     data_root, pairs_dir = trained_setup["data_root"], trained_setup["pairs_dir"]
 
     def build(dtype, rounds):
+        # shipped arm carries the tanh gelu the production retrieval tower
+        # uses (PipelineConfig.dinov2); the exact arm stays erf
+        gelu = "tanh" if dtype == "bfloat16" else "erf"
         dcfg = DinoV2Config(img_size=196, embed_dim=64, depth=2, num_heads=2,
-                            dtype=dtype)
+                            dtype=dtype, gelu=gelu)
         dinov2 = DinoVisionTransformer(dcfg)
         d_vars = dinov2.init(
             jax.random.PRNGKey(0), np.zeros((1, 196, 196, 3), np.float32)

@@ -1,0 +1,66 @@
+"""The gelu='tanh' production knob (config.py SamEncoderConfig.gelu).
+
+The reference computes exact erf gelu (image_encoder.py / the torch
+nn.GELU default); XLA expands erf into a long VPU polynomial while tanh
+lowers cheaper (measured 3.05 -> 2.30 ms per encoder MLP at rect vit_h
+shapes, scripts/ab_gelu.py). These tests pin (a) the shipped defaults so
+neither tower's flavor flips silently, and (b) the end-to-end deviation
+the approximation introduces in f32 — an order below the bf16 rounding
+the shipped towers already carry (oracle-parity tests pin gelu='erf').
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pope_tpu.config import DinoV2Config, PipelineConfig, SamEncoderConfig
+from pope_tpu.models.dinov2 import DinoVisionTransformer
+from pope_tpu.models.sam.encoder import ImageEncoderViT
+
+
+def test_shipped_gelu_defaults():
+    assert SamEncoderConfig().gelu == "tanh"  # eval encoder ships tanh
+    assert DinoV2Config().gelu == "erf"  # SSL/parity default stays exact
+    assert PipelineConfig().dinov2.gelu == "tanh"  # retrieval tower opts in
+
+
+def test_encoder_tanh_deviation_is_sub_bf16():
+    cfg = SamEncoderConfig(
+        img_size=128, patch_size=16, embed_dim=64, depth=4, num_heads=4,
+        window_size=4, global_attn_indexes=(3,), out_chans=32,
+        use_flash_attention=False, dtype="float32", gelu="erf",
+    )
+    enc_erf = ImageEncoderViT(cfg)
+    enc_tanh = ImageEncoderViT(dataclasses.replace(cfg, gelu="tanh"))
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32)
+    )
+    variables = enc_erf.init(jax.random.PRNGKey(1), x)
+    a = np.asarray(jax.jit(enc_erf.apply)(variables, x))
+    b = np.asarray(jax.jit(enc_tanh.apply)(variables, x))
+    dev = np.abs(a - b).max()
+    scale = np.abs(a).max()
+    # bf16 rounding on this output scale is ~scale * 2^-8; tanh-vs-erf must
+    # land well under it for "sub-bf16" to be an honest claim
+    assert dev < scale * 2.0**-9, (dev, scale)
+
+
+def test_dinov2_tanh_preserves_cls_geometry():
+    cfg = DinoV2Config(img_size=56, embed_dim=32, depth=2, num_heads=2,
+                       gelu="erf")
+    model = DinoVisionTransformer(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(2).uniform(-1, 1, (3, 56, 56, 3)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(3), x)
+    tanh = DinoVisionTransformer(dataclasses.replace(cfg, gelu="tanh"))
+    a = np.asarray(jax.jit(model.apply)(variables, x)["x_norm_clstoken"])
+    b = np.asarray(jax.jit(tanh.apply)(variables, x)["x_norm_clstoken"])
+    cos = np.sum(a * b, -1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    # retrieval ranks candidates by cls cosine; the approximation must not
+    # perturb directions anywhere near real cosine margins
+    assert cos.min() > 1 - 1e-6, cos

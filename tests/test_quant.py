@@ -100,7 +100,7 @@ def test_encoder_int8_mode(rng):
     cfg = SamEncoderConfig(
         img_size=128, patch_size=16, embed_dim=64, depth=4, num_heads=4,
         window_size=4, global_attn_indexes=(3,), out_chans=32,
-        use_flash_attention=False, dtype="float32",
+        use_flash_attention=False, dtype="float32", gelu="erf",
     )
     enc = ImageEncoderViT(cfg)
     enc8 = ImageEncoderViT(dataclasses.replace(cfg, quantize="int8"))

@@ -17,6 +17,7 @@ TEST_CFG = SamConfig(
     encoder=SamEncoderConfig(
         img_size=256, patch_size=16, embed_dim=64, depth=4, num_heads=2,
         window_size=4, global_attn_indexes=(1, 3), out_chans=64, dtype="float32",
+        gelu="erf",
     ),
     prompt_embed_dim=64,
     image_embedding_size=16,

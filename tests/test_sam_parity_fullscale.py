@@ -27,7 +27,7 @@ H2_CFG = SamConfig(
     encoder=SamEncoderConfig(
         img_size=1024, patch_size=16, embed_dim=1280, depth=2, num_heads=16,
         window_size=14, global_attn_indexes=(1,), out_chans=256,
-        dtype="float32", use_flash_attention=False,
+        dtype="float32", use_flash_attention=False, gelu="erf",
     ),
     prompt_embed_dim=256,
     image_embedding_size=64,
