@@ -237,6 +237,9 @@ class AutomaticMaskGenerator:
             _amg_boxes, static_argnames=("in_h", "in_w", "orig_h", "orig_w")
         )
         self._amg_boxes_jit = lambda imgs, **kw: _boxes_jit(self.variables, imgs, **kw)
+        # AOT handle for introspection (scripts/roofline.py pulls XLA's
+        # flops/bytes cost analysis off the compiled eval program)
+        self.boxes_program = _boxes_jit
 
     # ---- device path ----
 

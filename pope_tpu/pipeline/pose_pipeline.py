@@ -211,6 +211,10 @@ class PipelineExecutor:
             )
             return (small, matches) if packed else res
 
+        # AOT handle for introspection (scripts/roofline.py pulls XLA's
+        # flops/bytes cost analysis off the compiled fused program)
+        run.jitted = jrun
+
         if mesh is None:
             return run
 
@@ -225,6 +229,7 @@ class PipelineExecutor:
             with mesh:
                 return run(*(put(a) for a in args), packed=packed)
 
+        run_dp.jitted = jrun
         return run_dp
 
     def estimate_pair(self, image0_rgb01, image1_rgb01, K0, K1, amg_result, ref_cls, key) -> "PairResult":
