@@ -84,15 +84,24 @@ def flop_budget(models, n_candidates=None, crop_size=256):
     D = cfg.sam.prompt_embed_dim
     n_cand = n_candidates or (cfg.amg.points_per_side**2 * 3)
     n_prompts = n_cand // 3
-    # image-side qkv/proj of both cross attentions dominate (the token-side
-    # self-attn + MLP run on ~5 prompt tokens and are negligible)
-    two_way = 2 * 2 * (8 * n_tok * D * D)
+    # image-side projections of the cross attentions dominate (the
+    # token-side self-attn + MLP run on ~7 prompt tokens and are
+    # negligible). Per cross-attn the image side is 2 matmuls of
+    # D -> D/2 (t2i k+v; i2t q + out_proj), each 2*n_tok*D*(D/2) FLOPs.
+    # Per prompt: block0 i2t out_proj (1 unit; its k/v/q units are HOISTED
+    # to once-per-image by the shared-image fast path, decoder.py) +
+    # block1 (4) + final t2i k/v (2) = 7 units; +3 units once per image.
+    # Cross-checked against XLA's cost_analysis of the compiled decode
+    # (scripts/traffic_split.py) modulo XLA counting lax.map bodies once.
+    unit = 2 * n_tok * D * (D // 2)
+    two_way = 7 * unit
+    two_way_per_image = 3 * unit
     upscale = 2 * (4 * n_tok) * D * (D // 4) * 4 + 2 * (16 * n_tok) * (D // 4) * (D // 8) * 4
     # the eval path's exact-subsample decode executes 1/sub^2 of the upscale
     # FLOPs (decoder.UpConvT) — count what actually runs, not the full-res
     # equivalent, so MFU stays honest
     upscale /= float(cfg.amg.eval_decode_subsample) ** 2
-    amg_decode = n_prompts * (two_way + upscale)
+    amg_decode = n_prompts * (two_way + upscale) + two_way_per_image
     # retrieval: DINOv2 ViT-S/14 on mask_capacity crops + 1 prompt; the
     # pipeline always center-crops to 196px -> 14x14 patches + cls
     dt = cfg.dinov2

@@ -30,21 +30,36 @@ class DownsampledAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v):
+        """q: (Bq, Nq, C), k/v: (Bk, Nk, C) with Bq/Bk either equal or one
+        of them 1 (shared side). Size-1 leading dims are NOT materialized to
+        the full batch: the projection runs once and the attention einsums
+        broadcast — this is what lets the AMG decode hoist block-0's
+        image-side projections out of the prompt axis (the dense no-mask
+        prompt is identical for every grid point, so the pre-i2t image state
+        is too). Output batch = max(Bq, Bk)."""
         internal = self.embedding_dim // self.downsample_rate
         d = internal // self.num_heads
-        B, Nq, _ = q.shape
-        Nk = k.shape[1]
-        qp = nn.Dense(internal, dtype=self.dtype, name="q_proj")(q).reshape(B, Nq, self.num_heads, d)
-        kp = nn.Dense(internal, dtype=self.dtype, name="k_proj")(k).reshape(B, Nk, self.num_heads, d)
-        vp = nn.Dense(internal, dtype=self.dtype, name="v_proj")(v).reshape(B, Nk, self.num_heads, d)
+        Bq, Nq, _ = q.shape
+        Bk, Nk = k.shape[:2]
+        qp = nn.Dense(internal, dtype=self.dtype, name="q_proj")(q).reshape(Bq, Nq, self.num_heads, d)
+        kp = nn.Dense(internal, dtype=self.dtype, name="k_proj")(k).reshape(Bk, Nk, self.num_heads, d)
+        vp = nn.Dense(internal, dtype=self.dtype, name="v_proj")(v).reshape(Bk, Nk, self.num_heads, d)
         # einsum + f32 softmax instead of jax.nn.dot_product_attention:
         # measurably faster at the decoder's skinny shapes (<=8 tokens on
         # one side; see the same trade in dinov2/model.py)
         scale = d**-0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qp * scale, kp)
+        if Bq == Bk:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qp * scale, kp)
+        elif Bk == 1:
+            logits = jnp.einsum("bqhd,khd->bhqk", qp * scale, kp[0])
+        else:  # Bq == 1: shared queries against per-batch keys
+            logits = jnp.einsum("qhd,bkhd->bhqk", qp[0] * scale, kp)
         attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qp.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vp)
-        out = out.reshape(B, Nq, internal)
+        if vp.shape[0] == attn.shape[0]:
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vp)
+        else:
+            out = jnp.einsum("bhqk,khd->bqhd", attn, vp[0])
+        out = out.reshape(attn.shape[0], Nq, internal)
         return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(out)
 
 
@@ -96,11 +111,16 @@ class TwoWayTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, image_embedding, image_pe, point_embedding):
-        """image_embedding/image_pe: (B, h, w, C); point_embedding: (B, N, C).
-        Returns (processed tokens (B, N, C), processed image (B, hw, C))."""
-        B, h, w, C = image_embedding.shape
-        keys = image_embedding.reshape(B, h * w, C)
-        key_pe = jnp.broadcast_to(image_pe.reshape(-1, h * w, C)[:1], (B, h * w, C))
+        """image_embedding/image_pe: (Bk, h, w, C); point_embedding: (B, N, C).
+        Bk == 1 with B > 1 is the shared-image fast path: block 0's
+        image-side projections (t2i k/v, i2t q) then run ONCE instead of
+        per prompt — numerically the same matmuls, ~half the decode matmul
+        FLOPs on the AMG grid (the image state only becomes prompt-dependent
+        after block 0's i2t update). Returns (tokens (B, N, C), image state
+        (B, hw, C))."""
+        Bk, h, w, C = image_embedding.shape
+        keys = image_embedding.reshape(Bk, h * w, C)
+        key_pe = image_pe.reshape(-1, h * w, C)[:1]  # (1, hw, C), broadcasts
         queries = point_embedding
 
         for i in range(self.depth):
@@ -220,7 +240,12 @@ class MaskDecoder(nn.Module):
             [jnp.broadcast_to(out_tokens[None], (B, 1 + num_mask_tokens, C)), sparse_prompt], axis=1
         )
 
-        src = jnp.broadcast_to(image_embeddings, (B,) + dense_prompt.shape[1:]) + dense_prompt
+        # natural broadcasting: when dense_prompt is shared (B=1 — the AMG
+        # grid's no-mask embedding), src stays (1, h, w, C) and the
+        # transformer's shared-image fast path hoists block-0's image-side
+        # projections out of the prompt axis (bit-same matmuls, ~2x fewer
+        # decode matmul FLOPs)
+        src = image_embeddings + dense_prompt
         h, w = src.shape[1:3]
 
         hs, keys = TwoWayTransformer(

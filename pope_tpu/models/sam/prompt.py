@@ -106,5 +106,8 @@ class PromptEncoder(nn.Module):
             dense = self.mask_conv3(m)
         else:
             B = points.shape[0]
-            dense = jnp.broadcast_to(self.no_mask, (B, h, w, self.embed_dim))
+            # B=1, not B: every prompt shares the no-mask embedding, and the
+            # size-1 batch dim is what lets MaskDecoder/TwoWayTransformer
+            # hoist block-0's image-side projections out of the prompt axis
+            dense = jnp.broadcast_to(self.no_mask, (1, h, w, self.embed_dim))
         return sparse, dense
