@@ -225,6 +225,7 @@ def test_decode_subsample_exact(amg, rng):
     np.testing.assert_allclose(np.asarray(iou_sub), np.asarray(iou_full), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_eval_path_subsample_selects_same_candidates(amg, rng):
     """With the score filters permissive and NMS off, the subsampled eval
     path must select the same candidate set as the full-res one: predicted

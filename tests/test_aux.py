@@ -3,6 +3,7 @@ roundtrip, export roundtrip, collectives single-process paths, plotting,
 augment."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -273,6 +274,7 @@ def test_export_sam_prompt_head_full_surface(rng):
     np.testing.assert_allclose(np.asarray(low3)[0, 0], np.asarray(ref_low0)[0, 0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_export_matcher_and_dinov2(rng):
     import jax
 

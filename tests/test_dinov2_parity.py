@@ -63,6 +63,7 @@ def test_dinov2_forward_parity(ref_model, rng):
     )
 
 
+@pytest.mark.slow
 def test_dinov2_masked_forward_parity(ref_model, rng):
     """iBOT student path: masked patch embeddings replaced by the mask token
     before pos-embed (vision_transformer.py:191-195)."""

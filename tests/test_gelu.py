@@ -14,6 +14,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pope_tpu.config import DinoV2Config, PipelineConfig, SamEncoderConfig
 from pope_tpu.models.dinov2 import DinoVisionTransformer
@@ -26,6 +27,7 @@ def test_shipped_gelu_defaults():
     assert PipelineConfig().dinov2.gelu == "tanh"  # retrieval tower opts in
 
 
+@pytest.mark.slow
 def test_encoder_tanh_deviation_is_sub_bf16():
     cfg = SamEncoderConfig(
         img_size=128, patch_size=16, embed_dim=64, depth=4, num_heads=4,

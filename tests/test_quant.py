@@ -86,6 +86,7 @@ def test_make_dense():
         make_dense("int4")
 
 
+@pytest.mark.slow
 def test_encoder_int8_mode(rng):
     """The int8 encoder (quantize='int8') applies the SAME variables as the
     bf16 one and tracks its output closely: per-position cosine similarity

@@ -5,6 +5,7 @@ checked against the module's own init tree + a numerical parity against the
 sequential mamba reference."""
 
 import numpy as np
+import pytest
 import torch
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,7 @@ def _tree_shapes(t, prefix=""):
     return out
 
 
+@pytest.mark.slow
 def test_convnextv2_transplant_parity(rng):
     """Converted random torch weights reproduce the torch forward (same
     method as the matcher converter tests)."""
@@ -139,6 +141,7 @@ def _random_vim_torch_sd(rng, depth=2, d_model=32, d_state=16, expand=2,
     return {k: np.asarray(v, np.float32) for k, v in sd.items()}
 
 
+@pytest.mark.slow
 def test_vim_convert_matches_init_tree(rng):
     sd = _random_vim_torch_sd(rng)
     variables = convert_torch_vim_state(sd, depth=2)
