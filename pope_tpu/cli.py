@@ -33,6 +33,9 @@ def cmd_eval(args):
     from pope_tpu.eval.evaluate import results_table
     from pope_tpu.pipeline import load_models
 
+    if args.serial and (args.dp or args.batch_size is not None):
+        raise SystemExit("--serial runs one pair at a time on one chip; "
+                         "it contradicts --dp/--batch-size (drop one)")
     models = load_models(
         sam_checkpoint=args.sam_checkpoint,
         sam_type=args.sam_type,
@@ -56,7 +59,9 @@ def cmd_eval(args):
             mesh = make_mesh(args.dp, tp=1)
         per_obj = evaluate_dataset(
             models, args.dataset, args.data_root, args.pairs_dir,
-            max_pairs=args.max_pairs, batch_size=args.batch_size, mesh=mesh,
+            max_pairs=args.max_pairs,
+            batch_size=args.batch_size if args.batch_size is not None else 4,
+            mesh=mesh,
         )
     print(results_table(per_obj))
     if args.xlsx:
@@ -300,8 +305,9 @@ def main(argv=None):
     pe.add_argument("--pairs-dir", default="data/pairs")
     pe.add_argument("--max-pairs", type=int, default=None)
     pe.add_argument(
-        "--batch-size", type=int, default=4,
-        help="pairs per device batch (the batched production path is the default)",
+        "--batch-size", type=int, default=None,
+        help="pairs per device batch, default 4 "
+        "(the batched production path is the default)",
     )
     pe.add_argument(
         "--dp", type=int, default=None,

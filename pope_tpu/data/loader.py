@@ -17,6 +17,13 @@ from typing import Callable, Iterable, Iterator, Optional
 import jax
 
 
+class _Raise:
+    """Exception captured on a loader thread, re-raised at the consumer."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class ThreadedLoader:
     """Pulls items from a (possibly slow, IO-bound) iterator on worker
     threads, preserving order.
@@ -50,10 +57,6 @@ class ThreadedLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
         END = object()
 
-        class _Raise:
-            def __init__(self, exc):
-                self.exc = exc
-
         def producer():
             try:
                 for item in src:
@@ -82,10 +85,6 @@ class ThreadedLoader:
         # prefetch + workers, bounding host/device memory
         budget = threading.Semaphore(self._prefetch + self._num_workers)
         state = {"next_seq": 0, "n_exited": 0}
-
-        class _Raise:
-            def __init__(self, exc):
-                self.exc = exc
 
         def worker():
             while True:

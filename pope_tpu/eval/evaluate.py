@@ -243,8 +243,10 @@ def evaluate_dataset(
                 records.extend(
                     run_pairs(models, chunk, spec, hosts=hosts, dev=dev, **kw)[:n_real]
                 )
-            n += n_real
-            if progress and (n % 50 < batch_size):
+            prev_n, n = n, n + n_real
+            # fire once whenever a multiple of 50 is crossed (batch sizes
+            # >= 50 would otherwise print every batch)
+            if progress and (n // 50 > prev_n // 50):
                 print(f"[{dataset}] {n} pairs")
         if pending is not None:
             records.extend(finish_pairs(pending)[:pending_real])

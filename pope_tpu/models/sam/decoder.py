@@ -41,6 +41,8 @@ class DownsampledAttention(nn.Module):
         d = internal // self.num_heads
         Bq, Nq, _ = q.shape
         Bk, Nk = k.shape[:2]
+        if Bq != Bk and 1 not in (Bq, Bk):
+            raise ValueError(f"batch mismatch: q {Bq} vs k/v {Bk} (one must be 1)")
         qp = nn.Dense(internal, dtype=self.dtype, name="q_proj")(q).reshape(Bq, Nq, self.num_heads, d)
         kp = nn.Dense(internal, dtype=self.dtype, name="k_proj")(k).reshape(Bk, Nk, self.num_heads, d)
         vp = nn.Dense(internal, dtype=self.dtype, name="v_proj")(v).reshape(Bk, Nk, self.num_heads, d)

@@ -239,6 +239,11 @@ class TopKCheckpointer:
             for evicted in best[self.top_k:]:
                 shutil.rmtree(os.path.join(self.dir, evicted["name"]), ignore_errors=True)
             best = best[: self.top_k]
+        else:
+            # a re-saved name (resume re-running an epoch) that no longer
+            # qualifies must also lose its directory, or index.json and the
+            # on-disk set drift apart
+            shutil.rmtree(os.path.join(self.dir, name), ignore_errors=True)
         self.index["best"] = best
         self._write_index()
 
@@ -333,18 +338,25 @@ def train_matcher(
             concat, cfg.n_samples_per_subset, seed=cfg.seed + epoch
         )
 
-        def gen_batches():
+        def gen_index_batches():
             buf = []
             for i in sampler:
-                buf.append(concat[i])
+                buf.append(i)
                 if len(buf) == batch_size:
-                    yield collate_pairs(buf)  # host collate in loader threads
+                    yield buf
                     buf = []
             # ragged tail dropped (DataLoader drop_last semantics for train)
 
+        def load_batch(idxs):
+            # dataset reads + collate run on loader threads (num_workers>1
+            # parallelizes IO-bound scene reads; order is preserved)
+            return collate_pairs([concat[i] for i in idxs])
+
         losses = []
         t0 = time.time()
-        for k, batch in enumerate(ThreadedLoader(gen_batches, num_workers=num_workers)):
+        for k, batch in enumerate(
+            ThreadedLoader(gen_index_batches, num_workers=num_workers, fn=load_batch)
+        ):
             state, metrics = step_fn(state, put(batch))
             losses.append(metrics["loss"])
             if (k + 1) % log_every == 0:

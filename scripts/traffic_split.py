@@ -6,40 +6,20 @@ WHERE the 263 GB/batch goes so traffic-reduction work aims at the right op.
 Run on the real chip: `python scripts/traffic_split.py`.
 """
 
+import os
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-V5E_BF16_PEAK = 197e12
-V5E_HBM_BW = 819e9
-
 import bench
+from measure_common import V5E_BF16_PEAK, V5E_HBM_BW, cost, slope
 
-
-def cost(compiled):
-    ca = compiled.cost_analysis()
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0]
-    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
-
-
-def slope(dispatch, n=5):
-    out = dispatch()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = dispatch()
-    jax.block_until_ready(out)
-    t1 = time.perf_counter()
-    outs = [dispatch() for _ in range(n)]
-    jax.block_until_ready(outs[-1])
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (n - 1)
 
 
 def report(name, fl, by, meas):

@@ -48,6 +48,12 @@ def test_cli_surface():
         cli_main(["eval", "--dataset", "nonsense"])  # invalid choice
     with pytest.raises(SystemExit):
         cli_main(["amg"])  # missing required --input/--output
+    with pytest.raises(SystemExit):
+        # --serial contradicts the batched/sharded flags; rejected loudly
+        # instead of silently ignoring them
+        cli_main(["eval", "--dataset", "linemod", "--serial", "--dp", "4"])
+    with pytest.raises(SystemExit):
+        cli_main(["eval", "--dataset", "linemod", "--serial", "--batch-size", "8"])
 
 
 def test_parse_lm_converter(tmp_path):

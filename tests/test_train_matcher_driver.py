@@ -128,6 +128,17 @@ def test_topk_checkpointer_eviction(tmp_path):
     on_disk = {d for d in os.listdir(tmp_path) if d.startswith("epoch=")}
     assert on_disk == names  # evicted ckpts deleted
 
+    # resume re-running an epoch whose NAME is already indexed but whose new
+    # score no longer qualifies: the stale directory must go too, keeping
+    # index.json and the on-disk set in sync
+    ckpt.save(state, 1, {"auc@5": 0.5, "auc@10": 0.5, "auc@20": 0.5})  # requalifies
+    assert sorted(b["score"] for b in ckpt.index["best"]) == [0.5, 0.7]
+    ckpt2 = TopKCheckpointer(str(tmp_path), monitor="auc@10", top_k=1)
+    ckpt2.save(state, 1, {"auc@5": 0.5, "auc@10": 0.5, "auc@20": 0.5})  # k=1: loses to 0.7
+    names = {b["name"] for b in ckpt2.index["best"]}
+    on_disk = {d for d in os.listdir(tmp_path) if d.startswith("epoch=")}
+    assert on_disk == names == {"epoch=3-auc5=0.700-auc10=0.700-auc20=0.700"}
+
 
 @pytest.mark.slow
 def test_train_matcher_dp8_mesh(tmp_path):
