@@ -251,6 +251,34 @@ def cmd_demo_web(args):
     run_demo_server(demo, host=args.host, port=args.port)
 
 
+def cmd_serve_pose(args):
+    """Online pose service: POST /pose coalesces concurrent requests into
+    device batches (the eval driver's batched pipeline, behind a queue).
+    The reference has no serving surface for its pose pipeline."""
+    from pope_tpu.pipeline import load_models
+    from pope_tpu.serve import PoseService, make_pose_server
+
+    models = load_models(
+        sam_checkpoint=args.sam_checkpoint,
+        sam_type=args.sam_type,
+        dinov2_checkpoint=args.dinov2_checkpoint,
+        matcher_checkpoint=args.matcher_checkpoint,
+    )
+    service = PoseService(
+        models, crop_size=args.crop_size, batch_size=args.batch_size,
+        max_wait_ms=args.max_wait_ms,
+    )
+    server = make_pose_server(service, host=args.host, port=args.port)
+    print(f"serving pose estimation on http://{args.host}:{server.server_address[1]}/pose")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        service.shutdown(drain=False)
+
+
 def cmd_extract(args):
     from pope_tpu.eval.extract import extract_dataset
 
@@ -406,6 +434,22 @@ def main(argv=None):
     pw.add_argument("--max-points", type=int, default=8)
     _add_model_args(pw)
     pw.set_defaults(fn=cmd_demo_web)
+
+    pv = sub.add_parser(
+        "serve-pose",
+        help="online pose-estimation HTTP service (continuous batching)",
+    )
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8082)
+    pv.add_argument("--batch-size", type=int, default=4)
+    pv.add_argument(
+        "--max-wait-ms", type=float, default=8.0,
+        help="how long the batcher waits for a batch to fill after the "
+        "first request arrives",
+    )
+    pv.add_argument("--crop-size", type=int, default=256)
+    _add_model_args(pv)
+    pv.set_defaults(fn=cmd_serve_pose)
 
     px = sub.add_parser("extract", help="dump mkpts/crops for regressor training")
     px.add_argument("--dataset", required=True, choices=["linemod", "onepose", "onepose_plusplus", "ycbv"])
