@@ -43,23 +43,33 @@ def iter_image_files(root: str):
 
 def make_ssl_batches(image_root: str, cfg: SSLConfig, batch_size: int,
                      seed: int = 0, num_workers: int = 4,
-                     rank: int = 0, world: int = 1) -> Iterator[dict]:
-    """Endless epoch stream of collated multi-crop batches (host numpy).
+                     rank: int = 0, world: int = 1,
+                     advance_batches: int = 0) -> Iterator[dict]:
+    """Endless stream of collated multi-crop batches (host numpy),
+    RESUMABLE mid-epoch.
 
-    Multi-host (rank/world from jax.process_*): each host streams a disjoint
-    file shard (data/scenes.get_local_split semantics) at the PER-HOST batch
-    size, and the augmentation/mask seed stream is decorrelated per rank —
-    the reference gets both from torch DistributedSampler + per-worker
-    seeding (dinov2/data/loaders.py)."""
+    Sharding + resume come from data.samplers.ShardedInfiniteSampler
+    (spec: dinov2/dinov2/data/samplers.py:166-230): every rank draws a
+    disjoint strided shard of one shared epoch permutation, reshuffled per
+    iteration, and ``advance_batches`` fast-forwards this rank's stream by
+    k already-consumed batches — whole epochs skipped O(1).
+
+    Every random decision (shuffle order, crop/jitter/blur parameters,
+    iBOT masks, collate sampling) is a pure function of
+    (seed, rank, stream position), NOT of stateful RNG objects, so a
+    killed-and-resumed run reproduces the unkilled batch stream exactly
+    (tests/test_samplers.py::test_ssl_batches_resume_mid_epoch). The
+    reference gets the same property from sampler advance + per-worker
+    seeding (dinov2/data/loaders.py:70-85)."""
     import cv2
 
-    files = list(iter_image_files(image_root))
+    from pope_tpu.data.samplers import ShardedInfiniteSampler
+
+    # sorted: os.walk's directory order is filesystem-dependent; the
+    # sampler's indices must refer to a stable file list across restarts
+    files = sorted(iter_image_files(image_root))
     if not files:
         raise FileNotFoundError(f"no images under {image_root}")
-    if world > 1:
-        from pope_tpu.data.scenes import get_local_split
-
-        files = list(get_local_split(files, world, rank, seed=seed))
     crop_cfg = MultiCropConfig(
         global_crop_size=cfg.global_crop_size,
         local_crop_size=cfg.local_crop_size,
@@ -67,36 +77,42 @@ def make_ssl_batches(image_root: str, cfg: SSLConfig, batch_size: int,
     )
     n_tokens_side = cfg.global_crop_size // 14
 
-    def epoch_iter(epoch: int):
-        # Per-epoch derived seeds: the shuffle order, crop/jitter/blur
-        # stream and iBOT masks must all advance across epochs (the
-        # reference reseeds per step via its dataloader workers) — a fixed
-        # seed here would replay identical augmentations every epoch.
-        es = seed + 1_000_003 * epoch + 7919 * rank
-        rng = np.random.default_rng(es)
-        aug = DataAugmentationDINO(crop_cfg, seed=es)
-        gen = MaskingGenerator(input_size=n_tokens_side, seed=es)
-        order = rng.permutation(len(files))
+    def forever():
+        sampler = ShardedInfiniteSampler(
+            len(files), shuffle=True, seed=seed, start=rank, step=world,
+            advance=advance_batches * batch_size,
+        )
+        aug = DataAugmentationDINO(crop_cfg, seed=0)
+        gen = MaskingGenerator(input_size=n_tokens_side, seed=0)
+        pos = advance_batches * batch_size  # per-rank stream position
+        b = advance_batches  # per-rank batch counter
         batch = []
-        for idx in order:
+        for idx in sampler:
             img = cv2.imread(files[idx], cv2.IMREAD_COLOR)
+            pos += 1  # advances on FAILED reads too: position stays pure
             if img is None:
                 continue
+            # per-sample augmentation stream keyed by absolute position
+            aug.rng = np.random.default_rng(
+                np.random.SeedSequence([seed, rank, pos, 3])
+            )
             batch.append(aug(img[..., ::-1]))  # BGR -> RGB
             if len(batch) == batch_size:
+                gen.rng = np.random.default_rng(
+                    np.random.SeedSequence([seed, rank, b, 7])
+                )
                 yield collate_multicrop(
                     batch, gen,
                     mask_ratio=(cfg.mask_ratio_min, cfg.mask_ratio_max),
                     mask_probability=cfg.mask_sample_probability,
-                    seed=int(rng.integers(1 << 31)),
+                    seed=int(
+                        np.random.default_rng(
+                            np.random.SeedSequence([seed, rank, b, 13])
+                        ).integers(1 << 31)
+                    ),
                 )
+                b += 1
                 batch = []
-
-    def forever():
-        epoch = 0
-        while True:
-            yield from epoch_iter(epoch)
-            epoch += 1
 
     return iter(ThreadedLoader(forever, num_workers=num_workers))
 
@@ -158,9 +174,37 @@ def train_ssl(image_root: str,
         raise ValueError(
             f"batch_size {batch_size} must be divisible by process count {nproc}"
         )
+    # Data-stream resume (dinov2 samplers.py advance semantics): each rank
+    # has consumed exactly state.step per-host batches, so the sampler
+    # fast-forwards by that many — a killed-and-resumed run continues the
+    # SAME shuffled stream mid-epoch instead of restarting the epoch. The
+    # sidecar written at checkpoint time validates the stream is actually
+    # resumable (same seed / world / per-host batch).
+    start = int(jax.device_get(state.step))
+    per_host_batch = batch_size // max(nproc, 1)
+    if ckpt_dir and start:
+        meta_path = os.path.join(ckpt_dir, "sampler.json")
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                meta = json.load(f)
+            mismatch = {
+                k: (meta.get(k), v)
+                for k, v in (("seed", seed), ("world", nproc),
+                             ("per_host_batch", per_host_batch))
+                if meta.get(k) != v
+            }
+            if mismatch:
+                logger.warning(
+                    "sampler stream NOT resumable (%s changed: %s); the data "
+                    "order restarts from the advance point under the new "
+                    "topology", ",".join(mismatch), mismatch,
+                )
     batches = make_ssl_batches(
-        image_root, cfg, batch_size // max(nproc, 1), seed=seed,
+        image_root, cfg, per_host_batch, seed=seed,
         rank=jax.process_index(), world=nproc,
+        advance_batches=start,
     )
     def save(name, st):
         # multi-host: the FSDP-sharded state is not host-addressable — first
@@ -178,9 +222,17 @@ def train_ssl(image_root: str,
             if jax.process_index() != 0:
                 return
         save_checkpoint(os.path.join(ckpt_dir, name), st)
+        # sampler-state sidecar: everything needed to resume the data
+        # stream exactly (the consumed-batch count itself is state.step)
+        import json
+
+        with open(os.path.join(ckpt_dir, "sampler.json"), "w") as f:
+            json.dump(
+                {"seed": seed, "world": nproc, "per_host_batch": per_host_batch,
+                 "consumed_batches": int(jax.device_get(st.step))}, f,
+            )
 
     t0 = time.time()
-    start = int(state.step)
     for i in range(start, total):
         state, metrics = step_fn(state, put(next(batches)))
         if (i + 1) % log_every == 0:
