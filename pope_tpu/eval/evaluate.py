@@ -155,6 +155,7 @@ def evaluate_dataset(
     batch_size: Optional[int] = None,
     run_pairs: Optional[Callable] = None,
     mesh=None,
+    on_batch: Optional[Callable] = None,
 ) -> Dict[str, dict]:
     """Run the full pipeline over a dataset's pair manifest.
 
@@ -236,6 +237,10 @@ def evaluate_dataset(
                 nxt = dispatch_pairs(models, chunk, spec, hosts=hosts, dev=dev, mesh=mesh)
                 if pending is not None:
                     records.extend(finish_pairs(pending)[:pending_real])
+                    # per-batch completion hook (bench.py's steady-state
+                    # window timing; fires AFTER the batch's records land)
+                    if on_batch is not None:
+                        on_batch(len(records))
                 pending, pending_real = nxt, n_real
             else:
                 # custom runners (tests) may not take a mesh kwarg
@@ -250,6 +255,8 @@ def evaluate_dataset(
                 print(f"[{dataset}] {n} pairs")
         if pending is not None:
             records.extend(finish_pairs(pending)[:pending_real])
+            if on_batch is not None:
+                on_batch(len(records))
         return evaluate_pairs(records)
 
     if run_pair is None:
