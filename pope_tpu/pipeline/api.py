@@ -111,6 +111,12 @@ def load_models(
                     jnp.zeros((1, 2, 2)), jnp.zeros((1, 2), jnp.int32),
                 )
             )(rng)
+        # bf16 storage for the bf16-computing encoder: bit-identical (flax
+        # casts f32->bf16 before every matmul anyway) and halves the ~2.5 GB
+        # of f32 weight reads the AMG dispatch otherwise pays (buffer_audit).
+        from pope_tpu.utils.bf16_storage import cast_sam_storage
+
+        sam_vars = cast_sam_storage(sam_vars, sam_cfg.encoder)
         amg = AutomaticMaskGenerator(sam, sam_vars, config.amg, sam_cfg)
 
     dinov2 = dinov2_vars = None
