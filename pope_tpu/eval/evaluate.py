@@ -222,26 +222,38 @@ def evaluate_dataset(
             return (n_real, chunk, *prepare_batch(chunk, mesh=mesh))
 
         # software-pipeline across batches when the default runner is used:
-        # batch N+1's device programs are queued before batch N's results are
-        # fetched, so the device stays busy through host record-building
+        # keep up to POPE_PIPELINE_DEPTH batches' device programs in the
+        # queue before fetching the oldest one, so the device never drains
+        # while the host fetches results, builds records, and re-dispatches
+        # (depth 1 measured a ~9% host-edge tax vs device-only: between
+        # finishing batch N and dispatching N+2 the single queued program
+        # can complete and idle the chip; depth 2 keeps >=2 ahead)
         if pipelined:
             from pope_tpu.pipeline.runner import dispatch_pairs, finish_pairs
 
-        pending = None
-        pending_real = 0
+        from collections import deque
+
+        depth = max(1, int(os.environ.get("POPE_PIPELINE_DEPTH", "2")))
+        pending = deque()  # of (dispatched handle, n_real)
         n_workers = int(os.environ.get("POPE_LOADER_WORKERS", "1"))
+
+        def drain_one():
+            p, p_real = pending.popleft()
+            records.extend(finish_pairs(p)[:p_real])
+            # per-batch completion hook (bench.py's steady-state window
+            # timing; fires AFTER the batch's records land)
+            if on_batch is not None:
+                on_batch(len(records))
+
         for n_real, chunk, hosts, dev in ThreadedLoader(
             gen_batches, num_workers=n_workers, prefetch=2, fn=prep
         ):
             if pipelined:
-                nxt = dispatch_pairs(models, chunk, spec, hosts=hosts, dev=dev, mesh=mesh)
-                if pending is not None:
-                    records.extend(finish_pairs(pending)[:pending_real])
-                    # per-batch completion hook (bench.py's steady-state
-                    # window timing; fires AFTER the batch's records land)
-                    if on_batch is not None:
-                        on_batch(len(records))
-                pending, pending_real = nxt, n_real
+                pending.append(
+                    (dispatch_pairs(models, chunk, spec, hosts=hosts, dev=dev, mesh=mesh), n_real)
+                )
+                if len(pending) > depth:
+                    drain_one()
             else:
                 # custom runners (tests) may not take a mesh kwarg
                 kw = {"mesh": mesh} if mesh is not None else {}
@@ -253,10 +265,8 @@ def evaluate_dataset(
             # >= 50 would otherwise print every batch)
             if progress and (n // 50 > prev_n // 50):
                 print(f"[{dataset}] {n} pairs")
-        if pending is not None:
-            records.extend(finish_pairs(pending)[:pending_real])
-            if on_batch is not None:
-                on_batch(len(records))
+        while pending:
+            drain_one()
         return evaluate_pairs(records)
 
     if run_pair is None:

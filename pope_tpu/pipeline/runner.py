@@ -241,6 +241,14 @@ def dispatch_pairs(models, paths_list, spec, keys=None, hosts=None, dev=None, me
         dev["img0_u8"], dev["img1_u8"], dev["K0"], dev["K1"],
         boxes_b, valid_b, None, keys, dropped_b, packed=True,
     )
+    # start the d2h copies NOW (they queue behind the programs that produce
+    # them), so finish_pairs' device_get finds host-ready buffers instead of
+    # paying transfer latency inside the synchronous fetch
+    for arr in (small, matches):
+        try:
+            arr.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # sharded/older-runtime arrays
+            break
     return (paths_list, hosts, small, matches)
 
 
