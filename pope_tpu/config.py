@@ -124,12 +124,15 @@ class SamEncoderConfig:
     # (tests/test_flash_attention.py + on-chip parity).
     use_flash_attention: bool = True
     dtype: str = "bfloat16"
-    # 'int8' routes every block's qkv/proj/mlp Dense through the w8a8 MXU
-    # path (ops/quant.py): ~2x the bf16 matmul rate on a v5e, with per-token
-    # activation + per-channel weight symmetric quantization. Opt-in: the
-    # oracle-parity tests and the shipped default stay bf16 (no released
-    # checkpoints exist in this container to validate int8 end-task
-    # accuracy against); error bounds are pinned in test_quant.py.
+    # EXPERIMENTAL — 'int8' routes every block's qkv/proj/mlp Dense through
+    # the w8a8 MXU path (ops/quant.py): ~2x the bf16 matmul rate on a v5e,
+    # with per-token activation + per-channel weight symmetric quantization.
+    # Per-op error bounds are pinned in test_quant.py and the measured
+    # end-to-end driver win is only ~2% (the blocks are not matmul-bound,
+    # ROADMAP), but NO end-task accuracy gate covers this path: unlike bf16
+    # (joint shipped-vs-exact gate, test_accuracy_e2e.py) there is no
+    # released checkpoint or harness evidence that int8 preserves pose
+    # metrics. Do not deploy without validating on your own checkpoints.
     quantize: str = "none"
     # gelu flavor for the MLP halves: the reference uses exact erf gelu
     # (image_encoder.py's nn.GELU default), which XLA expands to a long

@@ -256,7 +256,13 @@ def dump():
     import jax.numpy as jnp
     import bench
 
+    # --batch N dumps at that batch size with a _bN suffix (the B=4 vs B=8
+    # AMG scheduling comparison, verdict r4 item #6)
     B = 4
+    suffix = ""
+    if "--batch" in sys.argv:
+        B = int(sys.argv[sys.argv.index("--batch") + 1])
+        suffix = f"_b{B}"
     H, W = bench.H, bench.W
     models = bench.build_models()
     amg = models.amg
@@ -274,7 +280,7 @@ def dump():
     amg_compiled = amg.boxes_program.lower(
         amg.variables, img1, in_h=in_h, in_w=in_w, orig_h=H, orig_w=W
     ).compile()
-    open("/tmp/hlo_amg.txt", "w").write(amg_compiled.as_text())
+    open(f"/tmp/hlo_amg{suffix}.txt", "w").write(amg_compiled.as_text())
     boxes_b, valid_b, dropped_b = amg.generate_boxes_batch(img1)
     jax.block_until_ready(boxes_b)
     from pope_tpu.pipeline.runner import get_executor
@@ -288,8 +294,8 @@ def dump():
         models.dinov2_variables, models.matcher_variables,
         img0, img1, K, K, boxes_b, valid_b, None, keys, dropped_b,
     ).compile()
-    open("/tmp/hlo_fused.txt", "w").write(fused_compiled.as_text())
-    print("dumped /tmp/hlo_amg.txt /tmp/hlo_fused.txt")
+    open(f"/tmp/hlo_fused{suffix}.txt", "w").write(fused_compiled.as_text())
+    print(f"dumped /tmp/hlo_amg{suffix}.txt /tmp/hlo_fused{suffix}.txt")
 
 
 if __name__ == "__main__":
