@@ -200,6 +200,13 @@ def build_models():
     if os.environ.get("POPE_BENCH_CHUNK"):
         amg_kw["points_per_chunk"] = int(os.environ["POPE_BENCH_CHUNK"])
     cfg = PipelineConfig(matcher=mcfg, dinov2=dcfg, sam=sam_cfg, amg=AMGConfig(**amg_kw))
+    # production weight storage (load_models applies the same cast):
+    # bf16-computing encoder weights stored bf16 — bit-identical, halves
+    # the weight-read traffic. POPE_BENCH_F32_WEIGHTS=1 opts out (A/B).
+    if not os.environ.get("POPE_BENCH_F32_WEIGHTS"):
+        from pope_tpu.utils.bf16_storage import cast_sam_storage
+
+        sam_vars = cast_sam_storage(sam_vars, sam_cfg.encoder)
     amg = AutomaticMaskGenerator(sam, sam_vars, cfg.amg, sam_cfg)
     return PopeModels(
         sam=sam, sam_variables=sam_vars, dinov2=dinov2, dinov2_variables=d_vars,
