@@ -112,10 +112,12 @@ def main():
     wsplit = tuple(
         (wqkv[:, i * C:(i + 1) * C], bqkv[i * C:(i + 1) * C]) for i in range(3)
     )
-    ref = np.asarray(fused(x, (wqkv, bqkv), R), np.float32)
+    # numeric checks must be jitted: eager ops each pay a remote
+    # compile+dispatch through the axon tunnel (minutes for a chain)
+    ref = np.asarray(jax.jit(fused)(x, (wqkv, bqkv), R), np.float32)
     for name, fn, w in (("split-qkv", split, wsplit),
                         ("q-major", fused_qmajor, (wqkv, bqkv))):
-        got = np.asarray(fn(x, w, R), np.float32)
+        got = np.asarray(jax.jit(fn)(x, w, R), np.float32)
         print(f"{name} vs fused max abs dev: {np.abs(got - ref).max():.6f}")
     ms_f = slope(fused, x, (wqkv, bqkv), R)
     ms_s = slope(split, x, wsplit, R)

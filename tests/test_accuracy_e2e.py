@@ -156,6 +156,13 @@ def _train_pair(points, colors, rng):
 
     pose0, pose1 = _ref_pose(), _tgt_pose(rng)
     img0, depth0 = _render(points, colors, pose0, K_REF, REF_HW, rng)
+    # NOTE on box augmentation (measured, round 5): training with jittered
+    # boxes — symmetric +/-3px + pct jitter, or even inward-only 0-3px
+    # shrink matching the AMG mask-tight distribution — DEGRADES this
+    # harness (inject-GT medians 9.3 -> 15.7/16.5): the 12-pair/420-step
+    # budget relies on crop-exact overfit. Keep the exact GT box; the
+    # real-AMG joint gate below budgets the resulting crop-distribution
+    # brittleness in its slack instead.
     box = _expand_xyxy(_project_bbox(points, pose1, K_TGT))
     K_crop = np.asarray(get_K_crop_resize(jnp.asarray(box), jnp.asarray(K_TGT), (CROP, CROP))[0])
     img1, depth1 = _render(points, colors, pose1, K_crop, (CROP, CROP), rng)
@@ -401,26 +408,141 @@ def test_trained_pipeline_accuracy(trained_setup):
     assert agg16["R:medianErr"] < agg["R:medianErr"] + 2.0, (agg, agg16)
 
 
-def test_joint_shipped_vs_exact_stack(trained_setup):
-    """JOINT approximation gate (VERDICT r3 #5): the full SHIPPED stack —
-    bf16 retrieval tower + bf16 matcher + 3-round RANSAC + subsampled-decode
-    box quantization — against the exact configuration (f32 towers, 6-round
-    RANSAC, unquantized boxes) on the SAME eval records, pinning the
-    COMBINED metric delta so no future flag flip silently compounds what the
-    per-flag gates validated separately.
+def _luma_sam(dtype: str, gelu: str):
+    """Tiny SAM whose AMG output is a REAL function of image content: the
+    encoder is surgically reduced to per-patch mean brightness (equal-weight
+    channel average + a bias that thresholds between the harness's bright
+    textured object and its gray-90 background), and the decoder to the
+    oracle-style structure of test_amg_oracle.py (identity upscaling +
+    one-hot hypernetworks): mask-slot logits are +/-(brightness channel), so
+    slot 1 segments the object, slot 2 its complement, slot 3 is empty.
 
-    rect_encode + eval_decode_subsample live inside AMG (oracle-tested in
-    test_amg_rect/test_amg_oracle — rect is candidate-exact, subsample's only
-    eval-path effect is the box quantization); their end-to-end contribution
-    enters here as the documented worst-case box shrink, scaled from <=3px
-    at VGA width to this harness's frame and rounded UP (3 * 128/640 = 0.6
-    -> 1.0 px, conservative)."""
+    Every shipped AMG approximation therefore runs for real — rect_encode's
+    sliced pos/rel-pos tables, eval_decode_subsample's reduced-res
+    box-from-mask, the bf16 encoder, tanh gelu, bf16 weight storage — and
+    what the joint gate measures is their true effect on candidate boxes
+    and everything downstream, not an analytic model of it.
+
+    Why sign-structure survives: blocks contribute through zeroed proj /
+    mlp_lin2 (identity residual stream); neck LN2d + the decoder's norm4
+    LayerNorms only rescale the single nonzero channel (sign-preserving);
+    dense_prompt (no_mask) is zeroed so the threshold stays at brightness
+    == bias. The bias must also reject the square-mode pad band, which the
+    preprocess fills with ZEROS after normalization (= exactly the ImageNet
+    mean): with -0.085 the object's textured patches measure ~+0.085 in
+    normalized units, pad -0.085, gray-90 background -0.56 — the two arms
+    binarize identically except on true boundary patches (the regime a
+    trained SAM operates in)."""
+    import flax
+    from pope_tpu.config import SamConfig, SamEncoderConfig
+    from pope_tpu.models.sam import Sam
+
+    # patch 8 (not SAM's 16): the mask is patch-blocky, so box edges
+    # quantize at patch granularity — 8px at the 256 model scale = 4px in
+    # the 96x128 harness frame, comparable (relative to the ~60px object)
+    # to the trained matcher's crop distribution; at patch 16 the exact
+    # arm's own boxes sat ~8px inside GT and pose medians doubled
+    enc = SamEncoderConfig(
+        img_size=256, patch_size=8, embed_dim=64, depth=2, num_heads=2,
+        window_size=4, global_attn_indexes=(1,), out_chans=32,
+        dtype=dtype, gelu=gelu, use_flash_attention=False,
+    )
+    cfg = SamConfig(
+        encoder=enc, prompt_embed_dim=32, image_embedding_size=32,
+        decoder_num_heads=2, decoder_mlp_dim=64, iou_head_hidden_dim=32,
+        decoder_dtype=dtype,
+    )
+    sam = Sam(cfg)
+    v = sam.init(
+        jax.random.PRNGKey(3), jnp.zeros((256, 256, 3)), (256, 256),
+        jnp.zeros((1, 2, 2)), jnp.zeros((1, 2), jnp.int32),
+    )
+    p = flax.core.unfreeze(v)["params"]
+    p = jax.tree_util.tree_map(lambda a: np.array(a, np.float32), p)
+
+    def zeros_like(*path):
+        node = p
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = np.zeros_like(node[path[-1]])
+        return node[path[-1]]
+
+    # patch embed -> channel 0 = mean normalized brightness + 0.10
+    k = zeros_like("image_encoder", "patch_embed", "kernel")
+    k[:, :, :, 0] = 1.0 / (3 * 8 * 8)
+    b = zeros_like("image_encoder", "patch_embed", "bias")
+    b[0] = -0.085
+    for i in range(enc.depth):  # identity residual stream
+        zeros_like("image_encoder", f"block_{i}", "proj", "kernel")
+        zeros_like("image_encoder", f"block_{i}", "proj", "bias")
+        zeros_like("image_encoder", f"block_{i}", "mlp_lin2", "kernel")
+        zeros_like("image_encoder", f"block_{i}", "mlp_lin2", "bias")
+    k = zeros_like("image_encoder", "neck_conv1", "kernel")
+    k[0, 0, 0, 0] = 1.0
+    k = zeros_like("image_encoder", "neck_conv2", "kernel")
+    k[1, 1, 0, 0] = 1.0
+
+    zeros_like("prompt_encoder", "no_mask")  # keep src = embedding exactly
+
+    for i in range(2):  # keys update only through cross_attn_i2t
+        zeros_like("mask_decoder", "transformer", f"layer_{i}", "cross_attn_i2t", "out_proj", "kernel")
+        zeros_like("mask_decoder", "transformer", f"layer_{i}", "cross_attn_i2t", "out_proj", "bias")
+    k = zeros_like("mask_decoder", "up_conv1", "kernel")
+    k[:, :, 0, 0] = 1.0  # nearest upsample of channel 0
+    zeros_like("mask_decoder", "up_conv1", "bias")
+    k = zeros_like("mask_decoder", "up_conv2", "kernel")
+    k[:, :, 0, 0] = 1.0
+    b = zeros_like("mask_decoder", "up_conv2", "bias")
+    b[0] = -0.5  # push coverage off the trivial threshold
+    # one-hot hypernetworks: slot1 = +ch0 (object), slot2 = -ch0
+    # (complement distractor), slot3 = empty
+    for i, w0 in ((0, 1.0), (1, 1.0), (2, -1.0), (3, 0.0)):
+        zeros_like("mask_decoder", f"hyper_{i}", "lin2", "kernel")
+        b = zeros_like("mask_decoder", f"hyper_{i}", "lin2", "bias")
+        b[0] = w0
+    zeros_like("mask_decoder", "iou_head", "lin2", "kernel")
+    p["mask_decoder"]["iou_head"]["lin2"]["bias"] = np.ones_like(
+        p["mask_decoder"]["iou_head"]["lin2"]["bias"]
+    )
+    return sam, {"params": p}, cfg
+
+
+def test_joint_shipped_vs_exact_stack(trained_setup):
+    """JOINT approximation gate, two layers (VERDICT r3 #5 + r4 #4):
+
+    A. PAIRED-CANDIDATES TOWER GATE (tight slack): the shipped tower/solver
+       stack — bf16 retrieval + tanh gelu + bf16 matcher + 3-round RANSAC —
+       vs the exact stack (f32 towers, erf, 6 rounds) with IDENTICAL
+       injected candidate boxes, so both arms see the same crops and the
+       delta isolates the numeric approximations. Slack ~1.5x the measured
+       deltas (bf16 matcher ~2 deg): +2.5 deg median, -0.1 ACC15.
+
+    B. REAL-AMG FAMILY GATE: both arms run the PRODUCTION driver end to end
+       (evaluate_dataset -> runner.run_pairs -> AMG generate_boxes_batch ->
+       fused program) with the _luma_sam fixture actually segmenting the
+       object — the shipped arm adds rect_encode + eval_decode_subsample=4
+       + bf16 SAM encoder/decoder with bf16 weight storage + tanh gelu, so
+       every shipped AMG approximation contributes its TRUE effect on
+       candidate boxes (no analytic box-shrink model). Slack is wider here
+       by necessity: the arms' boxes are different realizations (mask-tight,
+       patch-quantized), and this harness's 12-pair-overfit matcher
+       amplifies crop-distribution shifts (~+4 deg vs injected-GT boxes,
+       measured) that a production-scale matcher would not — the gate
+       bounds family membership, catching any approximation that breaks
+       segmentation-driven candidates outright.
+
+    No t-direction gate, as elsewhere in this module: at ~1.5cm lateral
+    baselines the translation DIRECTION flips tens of degrees from mm-scale
+    noise (the reference's own LINEMOD t:medianErr is 38.9 deg,
+    BASELINE.md)."""
     import pope_tpu.eval.manifest as mf
     from pope_tpu.config import AMGConfig, DinoV2Config, PipelineConfig
     from pope_tpu.eval import DATASETS, evaluate_dataset
     from pope_tpu.models.dinov2 import DinoVisionTransformer
     from pope_tpu.models.matcher import Matcher
+    from pope_tpu.models.sam import AutomaticMaskGenerator
     from pope_tpu.pipeline.api import PopeModels
+    from pope_tpu.utils.bf16_storage import cast_sam_storage
 
     points = trained_setup["points"]
     matcher, m_vars, mcfg = (
@@ -428,10 +550,9 @@ def test_joint_shipped_vs_exact_stack(trained_setup):
     )
     data_root, pairs_dir = trained_setup["data_root"], trained_setup["pairs_dir"]
 
-    def build(dtype, rounds):
-        # shipped arm carries the tanh gelu the production retrieval tower
-        # uses (PipelineConfig.dinov2); the exact arm stays erf
-        gelu = "tanh" if dtype == "bfloat16" else "erf"
+    def towers(shipped: bool, with_amg: bool):
+        dtype = "bfloat16" if shipped else "float32"
+        gelu = "tanh" if shipped else "erf"
         dcfg = DinoV2Config(img_size=196, embed_dim=64, depth=2, num_heads=2,
                             dtype=dtype, gelu=gelu)
         dinov2 = DinoVisionTransformer(dcfg)
@@ -439,39 +560,62 @@ def test_joint_shipped_vs_exact_stack(trained_setup):
             jax.random.PRNGKey(0), np.zeros((1, 196, 196, 3), np.float32)
         )
         m = dataclasses.replace(mcfg, dtype=dtype)
-        cfg = PipelineConfig(matcher=m, dinov2=dcfg, amg=AMGConfig(),
-                             ransac_thresh_px=1.0, ransac_rounds=rounds)
+        sam = sam_vars = amg = None
+        amg_cfg = AMGConfig()
+        if with_amg:
+            sam, sam_vars, sam_cfg = _luma_sam(dtype, gelu)
+            if shipped:  # production storage path (bit-identical, gated anyway)
+                sam_vars = cast_sam_storage(sam_vars, sam_cfg.encoder)
+            amg_cfg = AMGConfig(
+                points_per_side=4, pred_iou_thresh=0.5,
+                stability_score_thresh=0.0, min_mask_region_area=4,
+                mask_capacity=8, points_per_chunk=0, rect_encode=shipped,
+                eval_decode_subsample=4 if shipped else 1,
+            )
+            amg = AutomaticMaskGenerator(sam, sam_vars, amg_cfg, sam_cfg)
+        cfg = PipelineConfig(matcher=m, dinov2=dcfg, amg=amg_cfg,
+                             ransac_thresh_px=1.0,
+                             ransac_rounds=3 if shipped else 6)
         return PopeModels(
-            sam=None, sam_variables=None, dinov2=dinov2, dinov2_variables=d_vars,
-            matcher=Matcher(m), matcher_variables=m_vars, amg=None, config=cfg,
+            sam=sam, sam_variables=sam_vars, dinov2=dinov2,
+            dinov2_variables=d_vars, matcher=Matcher(m), matcher_variables=m_vars,
+            amg=amg, config=cfg,
         )
 
     spec = dataclasses.replace(DATASETS["linemod"], crop_size=CROP)
     orig = mf.DATASETS["linemod"]
 
-    def run(models, shrink):
+    def run(models, run_pairs=None):
         mf.DATASETS["linemod"] = spec
         try:
+            kw = {"run_pairs": run_pairs} if run_pairs is not None else {}
             per_obj = evaluate_dataset(
                 models, "linemod", data_root, pairs_dir, progress=False,
-                batch_size=2, run_pairs=_make_candidate_runner(points, shrink),
+                batch_size=2, **kw,
             )
         finally:
             mf.DATASETS["linemod"] = orig
         return per_obj[list(per_obj)[0]]
 
-    exact = run(build("float32", rounds=6), shrink=0.0)
-    shipped = run(build("bfloat16", rounds=3), shrink=1.0)
+    # --- A: paired candidates, tight slack -------------------------------
+    inject = _make_candidate_runner(points)
+    exact_p = run(towers(shipped=False, with_amg=False), inject)
+    shipped_p = run(towers(shipped=True, with_amg=False), inject)
+    assert exact_p["AP50"] > 0.8 and exact_p["R:medianErr"] < 10.0, exact_p
+    assert shipped_p["R:medianErr"] < exact_p["R:medianErr"] + 2.5, (exact_p, shipped_p)
+    assert shipped_p["R:ACC15"] >= exact_p["R:ACC15"] - 0.1 - 1e-6, (exact_p, shipped_p)  # 10-pair ACC granularity IS 0.1; epsilon guards the binary-float 0.8-0.1 boundary
+    assert shipped_p["AP50"] >= exact_p["AP50"] - 0.05 - 1e-6, (exact_p, shipped_p)
+    assert shipped_p["R:medianErr"] < 12.5, (exact_p, shipped_p)
 
-    # joint gate: every approximation stacked must stay within the summed
-    # individual allowances (bf16 matcher ~2deg + solver/boxes ~1deg). No
-    # t-direction gate, same as the f32/bf16 gates above: at this harness's
-    # ~1.5cm lateral baselines the translation DIRECTION flips tens of
-    # degrees from mm-scale estimate noise (the reference's own LINEMOD
-    # t:medianErr is 38.9deg, BASELINE.md) — a 10-pair median of it
-    # measures noise, not the approximation stack.
-    assert shipped["R:medianErr"] < exact["R:medianErr"] + 3.0, (exact, shipped)
-    assert shipped["AP50"] >= exact["AP50"] - 0.05, (exact, shipped)
-    assert shipped["R:ACC15"] >= exact["R:ACC15"] - 0.2, (exact, shipped)
-    # and the absolute bar the f32 gate enforces, plus the joint allowance
-    assert shipped["R:medianErr"] < 13.0, (exact, shipped)
+    # --- B: real AMG in both arms, family membership ----------------------
+    exact_a = run(towers(shipped=False, with_amg=True))
+    shipped_a = run(towers(shipped=True, with_amg=True))
+    # the exact arm must itself work end to end through the real AMG
+    # (measured 13.5 deg / ACC15 0.6 / AP50 1.0; hard failures -- complement
+    # selected, empty candidates, 90-deg penalties -- land at 25+ deg)
+    assert exact_a["AP50"] > 0.8, (exact_a, shipped_a)
+    assert exact_a["R:medianErr"] < 17.0, (exact_a, shipped_a)
+    assert shipped_a["R:medianErr"] < exact_a["R:medianErr"] + 4.0, (exact_a, shipped_a)
+    assert shipped_a["R:ACC15"] >= exact_a["R:ACC15"] - 0.2 - 1e-6, (exact_a, shipped_a)
+    assert shipped_a["AP50"] >= exact_a["AP50"] - 0.1 - 1e-6, (exact_a, shipped_a)
+    assert shipped_a["R:medianErr"] < 19.0, (exact_a, shipped_a)
