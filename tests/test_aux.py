@@ -315,6 +315,7 @@ def test_export_matcher_and_dinov2(rng):
     np.testing.assert_allclose(np.asarray(cls), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow  # four jax.export artifacts, ~35s on a 1-cpu box
 def test_export_cli(rng, tmp_path, monkeypatch):
     """`pope export` drives the export functions end to end: the written
     artifacts must deserialize and run (scripts/export_onnx_model.py

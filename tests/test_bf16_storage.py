@@ -36,6 +36,8 @@ def _encode(cfg, variables, x):
     return jax.jit(lambda v, xx: ImageEncoderViT(cfg).apply(v, xx))(variables, x)
 
 
+@pytest.mark.slow  # two full tiny-encoder jits (~15s 1-cpu); the cast also
+# runs inside the slow joint gate and the dtype-tree tests stay fast
 def test_bf16_storage_bit_identical():
     enc = ImageEncoderViT(TINY)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))

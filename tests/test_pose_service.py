@@ -16,6 +16,10 @@ import urllib.request
 import numpy as np
 import pytest
 
+# service build + first compile dominate (~70s on a 1-cpu box); the
+# continuous-batching surface is covered in the slow suite
+pytestmark = pytest.mark.slow
+
 cv2 = pytest.importorskip("cv2")
 
 from test_pipeline_e2e import _build_tiny_models
