@@ -567,6 +567,10 @@ def main(argv=None):
     pnv.add_argument("--train-steps", type=int, default=2000)
     pnv.add_argument("--downscale", type=int, default=1)
     pnv.add_argument("--seed", type=int, default=0)
+    pnv.add_argument("--lpips-alexnet", default=None,
+                     help="torchvision alexnet-*.pth (backbone) for LPIPS")
+    pnv.add_argument("--lpips-lins", default=None,
+                     help="lpips-package weights/v0.1/alex.pth (calibrated heads)")
     pnv.set_defaults(fn=cmd_render_novel_view)
 
     args = ap.parse_args(argv)

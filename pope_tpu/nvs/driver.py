@@ -5,7 +5,9 @@ poses_ba/{i}.txt + intrin_ba/{i}.txt for a set of source ids (:39-68),
 derive the depth range from the poses' z-translation (:50,:105
 [0.6*min, 1.5*max]), fit the scene, render each target id, and write
 `{label}_gt_pose_{idx}.jpg` (render) next to `{label}_gt_{idx}.jpg`
-(ground truth) (:143-144), reporting PSNR/SSIM (gnt_utils metrics surface).
+(ground truth) (:143-144), reporting PSNR/SSIM (gnt_utils metrics surface),
+plus LPIPS when the released weights are supplied (utils/lpips.py; the
+reference's own lpips import is external/broken there, :13).
 """
 
 from __future__ import annotations
@@ -47,9 +49,11 @@ def render_novel_views(
     train_steps: int = 2000,
     downscale: int = 1,
     seed: int = 0,
+    lpips_params=None,
 ):
     """Fit the sequence's source views, render targets, write jpgs + metrics.
-    Returns [(idx, psnr, ssim), ...]."""
+    Returns [(idx, psnr, ssim), ...], with an lpips column appended when
+    `lpips_params` (utils.lpips tree) is given."""
     import cv2
 
     label = label or os.path.basename(os.path.dirname(seq_root.rstrip("/")))
@@ -95,8 +99,16 @@ def render_novel_views(
             K[:2] /= downscale
         render = render_image(model, state.params, K, pose, rgb.shape[:2], near, far)
         p, s = psnr(render, rgb), ssim(render, rgb)
-        results.append((idx, p, s))
-        logger.info("view %d: psnr=%.2f ssim=%.3f", idx, p, s)
+        if lpips_params is not None:
+            from pope_tpu.utils.lpips import lpips_distance_jit
+
+            lp = float(lpips_distance_jit(
+                lpips_params, np.asarray(render)[None], rgb[None])[0])
+            results.append((idx, p, s, lp))
+            logger.info("view %d: psnr=%.2f ssim=%.3f lpips=%.4f", idx, p, s, lp)
+        else:
+            results.append((idx, p, s))
+            logger.info("view %d: psnr=%.2f ssim=%.3f", idx, p, s)
         cv2.imwrite(
             os.path.join(out_dir, f"{label}_gt_pose_{idx}.jpg"),
             (render[..., ::-1] * 255).astype(np.uint8),
@@ -114,8 +126,15 @@ def render_main(args):
     target_ids = (
         [int(s) for s in args.target_ids.split(",")] if args.target_ids else None
     )
+    lpips_params = None
+    if getattr(args, "lpips_alexnet", None) or getattr(args, "lpips_lins", None):
+        if not (args.lpips_alexnet and args.lpips_lins):
+            raise SystemExit("--lpips-alexnet and --lpips-lins must be given together")
+        from pope_tpu.utils.lpips import lpips_from_torch_files
+
+        lpips_params = lpips_from_torch_files(args.lpips_alexnet, args.lpips_lins)
     render_novel_views(
         args.seq_root, source_ids, target_ids, out_dir=args.out_dir,
         label=args.label, train_steps=args.train_steps,
-        downscale=args.downscale, seed=args.seed,
+        downscale=args.downscale, seed=args.seed, lpips_params=lpips_params,
     )

@@ -3,8 +3,10 @@
 Behavioral spec: the reference's novel-view app imports img2psnr/ssim from
 its external gnt_utils (src/novel_view_render.py:13); these are the standard
 formulations (SSIM per Wang et al. 2004 with an 11x11 Gaussian window,
-sigma 1.5, K1=0.01, K2=0.03, channel-averaged). LPIPS needs a pretrained
-perceptual net that doesn't ship in this container — documented out.
+sigma 1.5, K1=0.01, K2=0.03, channel-averaged). LPIPS lives in
+utils/lpips.py: the architecture + strict converters are implemented and
+torch-math-parity-tested; the pretrained weights don't ship in this
+container, so the NVS driver takes them as optional CLI paths.
 Host numpy: these score a handful of rendered frames, not a hot path.
 """
 

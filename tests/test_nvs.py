@@ -127,15 +127,18 @@ def test_nvs_driver_overfit(tmp_path):
         np.savetxt(str(root / "poses_ba" / f"{i}.txt"), pose)
         np.savetxt(str(root / "intrin_ba" / f"{i}.txt"), K)
 
+    from pope_tpu.utils.lpips import init_random_params
+
     cfg = NerfConfig(hidden=32, depth=3, skip_at=2, n_coarse=16, n_fine=16,
                      ray_batch=256, lr=2e-3, dtype="float32")
     results = render_novel_views(
         str(root), source_ids=[0, 1, 2, 4, 5], target_ids=[3],
         out_dir=str(tmp_path / "out"), label="lm-test", cfg=cfg,
-        train_steps=150, seed=0,
+        train_steps=150, seed=0, lpips_params=init_random_params(0),
     )
-    (idx, p, s), = results
+    (idx, p, s, lp), = results
     assert idx == 3
+    assert np.isfinite(lp) and lp >= 0
     gt = imgs[3]
     baseline = psnr(np.full_like(gt, gt.mean()), gt)
     assert p > baseline + 2, (p, baseline)
