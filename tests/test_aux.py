@@ -197,6 +197,8 @@ def test_export_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(masks), np.asarray(ref_masks), atol=1e-5)
 
 
+@pytest.mark.slow  # heaviest export variant (~16s); test_export_roundtrip
+# keeps the export surface in the fast suite
 def test_export_sam_prompt_head_full_surface(rng):
     """The SamOnnxModel-equivalent export (prompt encode + has_mask blending
     + decode + postprocess-to-original-size, utils/onnx.py:17-144):

@@ -53,7 +53,10 @@ def test_bf16_storage_bit_identical():
 def test_layernorm_params_stay_f32():
     enc = ImageEncoderViT(TINY)
     x = jnp.zeros((1, 64, 64, 3))
-    v = enc.init(jax.random.PRNGKey(0), x)
+    # dtype-tree check only: eval_shape traces without compiling/executing
+    # init (a real init jit costs ~20s on a busy 1-cpu box)
+    shapes = jax.eval_shape(lambda: enc.init(jax.random.PRNGKey(0), x))
+    v = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     cast = cast_sam_storage({"params": {"image_encoder": v["params"]}}, TINY)
     p = cast["params"]["image_encoder"]
     # f32-consumed leaves keep f32 storage
