@@ -180,7 +180,13 @@ def build_models():
     from pope_tpu.pipeline.api import PopeModels
 
     rng = np.random.default_rng(0)
-    sam_cfg = SamConfig(encoder=SamEncoderConfig.vit_h())
+    enc_cfg = SamEncoderConfig.vit_h()
+    # A/B opt-out for the fused windowed-attention Pallas kernel
+    if os.environ.get("POPE_BENCH_EINSUM_WINATTN"):
+        import dataclasses
+
+        enc_cfg = dataclasses.replace(enc_cfg, fused_window_attention=False)
+    sam_cfg = SamConfig(encoder=enc_cfg)
     sam = Sam(sam_cfg)
     sam_vars = jax.jit(
         lambda r, im: sam.init(r, im, (768, 1024), jnp.zeros((1, 2, 2)), jnp.zeros((1, 2), jnp.int32))

@@ -123,6 +123,16 @@ class SamEncoderConfig:
     # attention ~20x faster than XLA's logits-materializing path
     # (tests/test_flash_attention.py + on-chip parity).
     use_flash_attention: bool = True
+    # Pallas fused kernel for the 14x14 WINDOWED layers (TPU backend only):
+    # consumes the qkv Dense output in its natural (BW, N, 3C) layout and
+    # keeps each window's (196, 196) per-head logits + rel-pos bias in VMEM
+    # (ops/window_attention.py). The per-buffer HBM audit charges the
+    # einsum path's qkv layout dance + materialized logits/bias ~40 GB per
+    # AMG dispatch; the kernel replaces that with one qkv read + one output
+    # write. Measured −88.6% on the attention half at production shapes
+    # (scripts/ab_window_attn.py, on-chip). Numerically CLOSER to exact f32
+    # than the einsum path (f32 logits; see test_window_attention.py).
+    fused_window_attention: bool = True
     dtype: str = "bfloat16"
     # EXPERIMENTAL — 'int8' routes every block's qkv/proj/mlp Dense through
     # the w8a8 MXU path (ops/quant.py): ~2x the bf16 matmul rate on a v5e,

@@ -118,6 +118,7 @@ class EncoderBlock(nn.Module):
     grid: int  # full feature grid side (img/patch)
     dtype: jnp.dtype = jnp.bfloat16
     use_flash: bool = False
+    fused_window: bool = False  # Pallas fused windowed attention (TPU only)
     quantize: str = "none"
     gelu: str = "erf"  # config.py SamEncoderConfig.gelu; 'erf' = reference-exact
 
@@ -151,21 +152,43 @@ class EncoderBlock(nn.Module):
             tokens = h.reshape(B, H * W, C)
 
         qkv = Dense(3 * C, use_bias=True, dtype=self.dtype, name="qkv")(tokens)
-        qkv = qkv.reshape(tokens.shape[0], tokens.shape[1], 3, nh, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         if self.use_rel_pos:
             side = ws if ws > 0 else self.grid
             rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros, (2 * side - 1, d))
             rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros, (2 * side - 1, d))
-            flash_ok = self.use_flash and jax.default_backend() == "tpu"
-            attn_out = _attention_with_rel_pos(
-                q, k, v, rel_pos_h, rel_pos_w, q_hw, use_flash=flash_ok
-            )
+
+        fused_win = (
+            self.use_rel_pos and ws > 0 and self.fused_window
+            and jax.default_backend() == "tpu"
+        )
+        if fused_win:
+            # windowed layers, fused path: the Pallas kernel consumes qkv in
+            # the layout the Dense already produced — no (.., 3, nh, d)
+            # reshape copy, no q/k/v slices, no (N, N) logits/bias in HBM.
+            # Only the tiny q-projected rel tables are built here (XLA fuses
+            # the q column-slice into the einsums).
+            from pope_tpu.ops.window_attention import windowed_attention_relpos
+
+            n_tok = ws * ws
+            Rh = _rel_pos_table(rel_pos_h, ws, ws).astype(self.dtype)
+            Rw = _rel_pos_table(rel_pos_w, ws, ws).astype(self.dtype)
+            q4 = qkv[..., :C].reshape(-1, ws, ws, nh, d)
+            rel_h = jnp.einsum("bhwnc,hkc->bnhwk", q4, Rh).reshape(-1, nh, n_tok, ws)
+            rel_w = jnp.einsum("bhwnc,wkc->bnhwk", q4, Rw).reshape(-1, nh, n_tok, ws)
+            attn_out = windowed_attention_relpos(qkv, rel_h, rel_w, nh, d, ws, ws)
         else:
-            attn_out = jax.nn.dot_product_attention(q, k, v).reshape(
-                tokens.shape[0], tokens.shape[1], C
-            )
+            qkv = qkv.reshape(tokens.shape[0], tokens.shape[1], 3, nh, d)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if self.use_rel_pos:
+                flash_ok = self.use_flash and jax.default_backend() == "tpu"
+                attn_out = _attention_with_rel_pos(
+                    q, k, v, rel_pos_h, rel_pos_w, q_hw, use_flash=flash_ok
+                )
+            else:
+                attn_out = jax.nn.dot_product_attention(q, k, v).reshape(
+                    tokens.shape[0], tokens.shape[1], C
+                )
         attn_out = Dense(C, use_bias=True, dtype=self.dtype, name="proj")(attn_out)
 
         if ws > 0:
@@ -223,6 +246,7 @@ class ImageEncoderViT(nn.Module):
                 grid=grid,
                 dtype=dtype,
                 use_flash=cfg.use_flash_attention,
+                fused_window=cfg.fused_window_attention,
                 quantize=cfg.quantize,
                 gelu=cfg.gelu,
                 name=f"block_{i}",
